@@ -1,0 +1,18 @@
+"""Core data-structure ops: voxel-hash map, downsampling, masked reductions."""
+
+from .downsample import random_decimate, voxel_downsample
+from .voxel_grid import GridConfig, VoxelHashMap, create, insert, knn, lookup, num_voxels, point_to_voxel, stencil_offsets
+
+__all__ = [
+    "GridConfig",
+    "VoxelHashMap",
+    "create",
+    "insert",
+    "knn",
+    "lookup",
+    "num_voxels",
+    "point_to_voxel",
+    "stencil_offsets",
+    "voxel_downsample",
+    "random_decimate",
+]

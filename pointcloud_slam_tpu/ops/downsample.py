@@ -1,0 +1,53 @@
+"""Voxel-grid downsampling with static shapes.
+
+Behavioral parity target: PCL `VoxelGrid` as used by the reference
+(`src/jueying_lio/src/laser_mapping.cc:325` scan downsample, leaf 0.2-0.5 m;
+`src/jueying_slam/include/voxel_grid_large.h` for huge maps) — each occupied
+voxel is reduced to the centroid of its points.
+
+TPU design: instead of compacting to a data-dependent number of output points,
+the output keeps the input length N with a validity mask selecting one
+representative (the voxel centroid, stored at the first-occurrence index).
+Downstream consumers are mask-aware, so no host round-trip or dynamic shape is
+needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf: float):
+    """Centroid voxel filter. points (N, 3), mask (N,) -> (centroids (N, 3), mask' (N,)).
+
+    Output row i holds the centroid of point i's voxel iff i is the first
+    masked point of that voxel; other rows keep their input value with
+    mask' == False.
+    """
+    N = points.shape[0]
+    big = jnp.iinfo(jnp.int32).max
+    coords = jnp.floor(points / leaf).astype(jnp.int32)
+    coords = jnp.where(mask[:, None], coords, big)  # unmasked rows sort last
+    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    scoords = coords[order]
+    spts = points[order]
+    valid = scoords[:, 0] < big
+    is_first = jnp.concatenate([jnp.ones((1,), bool), jnp.any(scoords[1:] != scoords[:-1], axis=-1)]) & valid
+    seg_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # segment of each sorted row
+    tgt = jnp.where(valid, seg_id, N)
+    seg_sum = jnp.zeros((N, 3), points.dtype).at[tgt].add(spts, mode="drop")
+    seg_cnt = jnp.zeros((N,), points.dtype).at[tgt].add(1.0, mode="drop")
+    centroid = seg_sum / jnp.maximum(seg_cnt[:, None], 1.0)
+    # place each segment's centroid at the original index of its first sorted row
+    first_tgt = jnp.where(is_first, order, N)
+    out = points.at[first_tgt].set(centroid[jnp.maximum(seg_id, 0)], mode="drop")
+    out_mask = jnp.zeros((N,), bool).at[first_tgt].set(True, mode="drop")
+    return out, out_mask
+
+
+def random_decimate(points: jnp.ndarray, mask: jnp.ndarray, every_n: int):
+    """Keep every n-th masked point (reference point_filter_num semantics,
+    pointcloud_preprocess.cc decimation)."""
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    keep = mask & (idx % every_n == 0)
+    return points, keep
