@@ -94,9 +94,20 @@ def point_to_voxel(points: jnp.ndarray, resolution: float) -> jnp.ndarray:
 
 
 def _hash(coords: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """Spatial hash (Teschner-style prime multiply/xor, as in ivox/vector3_hash)."""
+    """Spatial hash: prime multiply/xor combine + murmur3 finalizer.
+
+    The bare Teschner combine (as in ivox/vector3_hash) collides heavily in the
+    low bits for small coordinate ranges; the finalizer gives avalanche so the
+    power-of-two masked buckets stay uniform.
+    """
     c = coords.astype(jnp.uint32)
-    h = (c[..., 0] * jnp.uint32(73856093)) ^ (c[..., 1] * jnp.uint32(19349669)) ^ (c[..., 2] * jnp.uint32(83492791))
+    # additive combine: the XOR combine collides for coordinate sign-flips
+    h = c[..., 0] * jnp.uint32(73856093) + c[..., 1] * jnp.uint32(19349669) + c[..., 2] * jnp.uint32(83492791)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
     return (h & jnp.uint32(capacity - 1)).astype(jnp.int32)
 
 
@@ -113,10 +124,13 @@ def lookup(config: GridConfig, grid: VoxelHashMap, coords: jnp.ndarray) -> jnp.n
     return jax.lax.fori_loop(0, config.probe, body, found)
 
 
-def _claim_slots(config: GridConfig, grid: VoxelHashMap, coords: jnp.ndarray, mask: jnp.ndarray):
+def _claim_slots(config: GridConfig, keys, occupied, stamp, counter, coords, mask):
     """Choose a slot per insert-coord: existing match, else empty, else LRU-evict.
 
-    Returns (slot (N,), is_new (N,)) with slot == capacity for dropped points.
+    Slots whose stamp equals the current counter were claimed earlier in this
+    same batch and are never eviction candidates, so a settled claim cannot be
+    stolen by a later round. Returns (slot (N,), is_new (N,)) with
+    slot == capacity for points that found no slot.
     """
     C = config.capacity
     h0 = _hash(coords, C)
@@ -125,12 +139,12 @@ def _claim_slots(config: GridConfig, grid: VoxelHashMap, coords: jnp.ndarray, ma
     def body(j, carry):
         match_slot, empty_slot, evict_slot, evict_stamp = carry
         s = (h0 + j) & (C - 1)
-        occ = grid.occupied[s]
-        match = occ & jnp.all(grid.keys[s] == coords, axis=-1)
+        occ = occupied[s]
+        match = occ & jnp.all(keys[s] == coords, axis=-1)
         match_slot = jnp.where((match_slot >= big) & match, s, match_slot)
         empty_slot = jnp.where((empty_slot >= big) & ~occ, s, empty_slot)
-        st = grid.stamp[s]
-        better = st < evict_stamp
+        st = stamp[s]
+        better = occ & (st < counter) & (st < evict_stamp)
         evict_slot = jnp.where(better, s, evict_slot)
         evict_stamp = jnp.where(better, st, evict_stamp)
         return match_slot, empty_slot, evict_slot, evict_stamp
@@ -144,32 +158,41 @@ def _claim_slots(config: GridConfig, grid: VoxelHashMap, coords: jnp.ndarray, ma
     match_slot, empty_slot, evict_slot, _ = jax.lax.fori_loop(0, config.probe, body, init)
     slot = jnp.where(match_slot < big, match_slot, jnp.where(empty_slot < big, empty_slot, evict_slot))
     is_new = match_slot >= big
-    slot = jnp.where(mask, slot, big)  # dropped -> out-of-bounds (scatter mode="drop")
+    slot = jnp.where(mask, slot, big)  # unmasked -> out-of-bounds (scatter mode="drop")
     return slot, is_new
+
+
+_CLAIM_ROUNDS = 4
 
 
 def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jnp.ndarray) -> VoxelHashMap:
     """Insert masked points. points (N, 3), mask (N,) bool. Returns the new map.
 
-    Collision policy: (a) same-batch points whose claimed slot was stolen by a
-    different voxel key are dropped for this frame (they reappear next frame);
-    (b) points beyond the per-voxel block size are dropped — both mirror the
-    bounded-memory behavior of iVox's LRU + capacity limits.
+    Claiming runs a few rounds so same-batch hash collisions between different
+    voxels resolve (the loser re-probes against the updated table). Points in a
+    full per-voxel block are dropped, and under extreme table pressure the
+    oldest slot in the probe window is evicted — both mirror the
+    bounded-memory behavior of iVox's LRU + capacity limits (ivox3d.h:257-281).
     """
     C, K = config.capacity, config.pts_per_voxel
     coords = point_to_voxel(points, config.resolution)
-    slot, is_new = _claim_slots(config, grid, coords, mask)
+    counter = grid.counter + 1  # fresh stamp for this batch
+    keys, occupied, npts, stamp = grid.keys, grid.occupied, grid.npts, grid.stamp
+    remaining = mask
+    slot = jnp.full(mask.shape, C, jnp.int32)
+    for _ in range(_CLAIM_ROUNDS):
+        round_slot, is_new = _claim_slots(config, keys, occupied, stamp, counter, coords, remaining)
+        claim_idx = jnp.where(remaining & is_new, round_slot, C)
+        keys = keys.at[claim_idx].set(coords, mode="drop")
+        occupied = occupied.at[claim_idx].set(True, mode="drop")
+        npts = npts.at[claim_idx].set(0, mode="drop")
+        key_after = keys.at[jnp.minimum(round_slot, C - 1)].get(mode="clip")
+        won = remaining & (round_slot < C) & jnp.all(key_after == coords, axis=-1)
+        slot = jnp.where(won, round_slot, slot)
+        stamp = stamp.at[jnp.where(won, round_slot, C)].set(counter, mode="drop")
+        remaining = remaining & ~won
 
-    # claim: write keys/occupied for new slots (drop out-of-bounds)
-    claim_idx = jnp.where(mask & is_new, slot, C)
-    keys = grid.keys.at[claim_idx].set(coords, mode="drop")
-    occupied = grid.occupied.at[claim_idx].set(True, mode="drop")
-    npts = grid.npts.at[claim_idx].set(0, mode="drop")
-
-    # conflict detection: points whose slot now holds a different key lose
-    key_after = keys.at[jnp.minimum(slot, C - 1)].get(mode="clip")
-    ok = mask & (slot < C) & jnp.all(key_after == coords, axis=-1)
-    slot = jnp.where(ok, slot, C)
+    ok = mask & (slot < C)
 
     # in-batch rank within each slot (stable sort by slot, rank = i - first_occ)
     N = points.shape[0]
@@ -189,8 +212,7 @@ def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jn
 
     adds = jnp.zeros((C,), jnp.int32).at[jnp.where(fits, slot, C)].add(1, mode="drop")
     npts = npts + adds
-    stamp = grid.stamp.at[jnp.where(ok, slot, C)].set(grid.counter, mode="drop")
-    return VoxelHashMap(keys, occupied, pts, npts, stamp, grid.counter + 1)
+    return VoxelHashMap(keys, occupied, pts, npts, stamp, counter)
 
 
 def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5, max_range: float = 5.0):
