@@ -103,6 +103,10 @@ def plane_fit(pts: jnp.ndarray, mask: jnp.ndarray, threshold: float = 0.1, min_p
     # well-spread points are unaffected at float32 resolution
     AtA = AtA + 1e-6 * jnp.eye(3, dtype=pts.dtype)
     n = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+    # near-singular systems (e.g. a single neighbor) can emit non-finite
+    # solutions in f32; they must not poison downstream masked math
+    finite = jnp.all(jnp.isfinite(n), axis=-1, keepdims=True)
+    n = jnp.where(finite, n, 0.0)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
     safe = jnp.maximum(norm, _EPS)
     n_hat = n / safe
@@ -111,7 +115,7 @@ def plane_fit(pts: jnp.ndarray, mask: jnp.ndarray, threshold: float = 0.1, min_p
     resid = jnp.abs(jnp.einsum("...ki,...i->...k", pts, n_hat) + d_hat[..., None])
     ok_resid = jnp.all(jnp.where(mask, resid <= threshold, True), axis=-1)
     enough = jnp.sum(mask, axis=-1) >= min_pts
-    nondegenerate = norm[..., 0] > _EPS
+    nondegenerate = finite[..., 0] & (norm[..., 0] > _EPS)
     return coef, ok_resid & enough & nondegenerate
 
 

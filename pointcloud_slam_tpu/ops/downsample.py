@@ -14,9 +14,11 @@ needed.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
+@jax.jit
 def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf: float):
     """Centroid voxel filter. points (N, 3), mask (N,) -> (centroids (N, 3), mask' (N,)).
 
@@ -45,7 +47,8 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf: float):
     return out, out_mask
 
 
-def random_decimate(points: jnp.ndarray, mask: jnp.ndarray, every_n: int):
+@jax.jit
+def random_decimate(points: jnp.ndarray, mask: jnp.ndarray, every_n: jnp.ndarray):
     """Keep every n-th masked point (reference point_filter_num semantics,
     pointcloud_preprocess.cc decimation)."""
     idx = jnp.cumsum(mask.astype(jnp.int32)) - 1

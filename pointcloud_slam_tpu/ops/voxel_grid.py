@@ -24,6 +24,7 @@ state.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -111,6 +112,7 @@ def _hash(coords: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return (h & jnp.uint32(capacity - 1)).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def lookup(config: GridConfig, grid: VoxelHashMap, coords: jnp.ndarray) -> jnp.ndarray:
     """Find the slot holding each voxel coord. (..., 3) -> (...,) int32, -1 if absent."""
     h0 = _hash(coords, config.capacity)
@@ -120,7 +122,8 @@ def lookup(config: GridConfig, grid: VoxelHashMap, coords: jnp.ndarray) -> jnp.n
         match = grid.occupied[s] & jnp.all(grid.keys[s] == coords, axis=-1)
         return jnp.where((found < 0) & match, s, found)
 
-    found = jnp.full(h0.shape, -1, jnp.int32)
+    # derive the init from h0 so shard_map's varying-axis typing is preserved
+    found = h0 * 0 - 1
     return jax.lax.fori_loop(0, config.probe, body, found)
 
 
@@ -149,12 +152,8 @@ def _claim_slots(config: GridConfig, keys, occupied, stamp, counter, coords, mas
         evict_stamp = jnp.where(better, st, evict_stamp)
         return match_slot, empty_slot, evict_slot, evict_stamp
 
-    init = (
-        jnp.full(h0.shape, big, jnp.int32),
-        jnp.full(h0.shape, big, jnp.int32),
-        jnp.full(h0.shape, big, jnp.int32),
-        jnp.full(h0.shape, jnp.iinfo(jnp.int32).max, jnp.int32),
-    )
+    zero = h0 * 0  # keeps shard_map varying-axis typing
+    init = (zero + big, zero + big, zero + big, zero + jnp.iinfo(jnp.int32).max)
     match_slot, empty_slot, evict_slot, _ = jax.lax.fori_loop(0, config.probe, body, init)
     slot = jnp.where(match_slot < big, match_slot, jnp.where(empty_slot < big, empty_slot, evict_slot))
     is_new = match_slot >= big
@@ -165,6 +164,7 @@ def _claim_slots(config: GridConfig, keys, occupied, stamp, counter, coords, mas
 _CLAIM_ROUNDS = 4
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jnp.ndarray) -> VoxelHashMap:
     """Insert masked points. points (N, 3), mask (N,) bool. Returns the new map.
 
@@ -215,6 +215,7 @@ def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jn
     return VoxelHashMap(keys, occupied, pts, npts, stamp, counter)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "k"))
 def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5, max_range: float = 5.0):
     """k nearest map points for each query point over the stencil neighborhood.
 

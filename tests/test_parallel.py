@@ -1,0 +1,42 @@
+"""Sharded registration must match the single-device result on the 8-CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointcloud_slam_tpu import ops, parallel, register
+from pointcloud_slam_tpu.geom import se3
+from pointcloud_slam_tpu.io import synthetic
+
+GRID = ops.GridConfig(capacity=1 << 13, pts_per_voxel=16, resolution=0.5, nearby=7)
+
+
+def test_mesh_has_8_devices():
+    mesh = parallel.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_icp_matches_single_device():
+    mesh = parallel.make_mesh()
+    world = synthetic.make_room_cloud(2048, seed=0)
+    grid_cfg, grid = register.build_target_map(jnp.asarray(world), grid_cfg=GRID)
+
+    B = mesh.shape["dp"] * 2
+    srcs, poses_R, poses_t = [], [], []
+    for b in range(B):
+        R, t = synthetic.random_pose(seed=10 + b, rot_scale=0.05, trans_scale=0.2)
+        srcs.append((world - t) @ R)
+        poses_R.append(R)
+        poses_t.append(t)
+    src = jnp.asarray(np.stack(srcs), jnp.float32)  # (B, N, 3)
+    mask = jnp.ones(src.shape[:2], bool)
+    init = se3.identity(batch=(B,))
+
+    pose, conv, iters = parallel.sharded_point_to_plane_icp(mesh, grid_cfg, grid, src, mask, init)
+    # compare against the unsharded solver per problem
+    for b in range(B):
+        ref = register.point_to_plane_icp(grid_cfg, grid, src[b])
+        np.testing.assert_allclose(np.asarray(pose.t[b]), np.asarray(ref.pose.t), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(pose.R[b]), np.asarray(ref.pose.R), atol=2e-3)
+        # and against ground truth
+        np.testing.assert_allclose(np.asarray(pose.t[b]), poses_t[b], atol=5e-2)
