@@ -34,15 +34,17 @@ def main():
     R, t = synthetic.random_pose(seed=1, rot_scale=0.05, trans_scale=0.3)
     src = ((world[:N_POINTS] - t) @ R).astype(np.float32)
 
-    grid_cfg, grid = register.build_target_map(jnp.asarray(world), grid_cfg=GRID)
-    src_j = jnp.asarray(src)
+    grid_cfg, grid = register.build_target_map(jnp.asarray(world.T), grid_cfg=GRID)
+    src_j = jnp.asarray(np.ascontiguousarray(src.T))
 
     solve = jax.jit(lambda g, s: register.point_to_plane_icp(grid_cfg, g, s, cfg=ICP))
     res = solve(grid, src_j)
     jax.block_until_ready(res)  # compile + warm up
 
-    # sanity: the solve must actually converge to the true pose
-    terr = float(jnp.linalg.norm(res.pose.t - jnp.asarray(t)))
+    # sanity: the solve must actually converge to the true pose.
+    # NOTE: host math in numpy only — a single EAGER jnp op on the axon TPU
+    # tunnel permanently degrades subsequent jitted dispatch by ~3000x.
+    terr = float(np.linalg.norm(np.asarray(res.pose.t) - t))
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):

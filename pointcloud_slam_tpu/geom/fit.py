@@ -4,12 +4,14 @@ Parity targets (math re-derived):
   - plane fit:  reference `src/jueying_lio/include/common_lib.h:186-243`
     (`common::esti_plane`: solve A n = -1, normalize, residual-threshold test)
   - line fit:   reference `src/jueying_slam/src/mapOptmization.cpp:1283-1347`
-    (corner fit: 5-NN covariance eigendecomposition, lambda1 > 3*lambda2)
+    (corner fit: 5-NN covariance eigendecomposition, lambda_max > 3*lambda_mid)
   - 3x3 eigh:   analytic (Cardano + cross-product eigenvectors) instead of an
     iterative LAPACK path, so thousands of tiny problems vectorize on the VPU.
 
-All functions operate on a trailing (K, 3) block of points with a (K,) validity
-mask and broadcast over leading batch dimensions.
+TPU layout convention (structure-of-arrays): point blocks are (3, K, N) —
+coordinate axis leading, the big point axis minor so it maps onto the 128
+vector lanes. All solves are closed-form component arithmetic; there is no
+batched LAPACK anywhere on the hot path.
 """
 
 from __future__ import annotations
@@ -19,25 +21,19 @@ import jax.numpy as jnp
 _EPS = 1e-12
 
 
-def eigh3x3(A: jnp.ndarray):
-    """Analytic eigendecomposition of symmetric (..., 3, 3) matrices.
-
-    Returns (eigvals (..., 3) ascending, eigvecs (..., 3, 3) with columns as
-    eigenvectors), matching jnp.linalg.eigh's convention. Robust to repeated
-    eigenvalues via largest-cross-product vector selection + final
-    orthogonalization.
-    """
-    dtype = A.dtype
-    q = (A[..., 0, 0] + A[..., 1, 1] + A[..., 2, 2]) / 3.0
-    eye = jnp.eye(3, dtype=dtype)
-    Aq = A - q[..., None, None] * eye
-    p2 = jnp.sum(Aq * Aq, axis=(-1, -2)) / 6.0
+def _eigvals3x3(a00, a01, a02, a11, a12, a22):
+    """Cardano eigenvalues of symmetric 3x3 given by components. Ascending (3 arrays)."""
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)) / 6.0
     p = jnp.sqrt(jnp.maximum(p2, _EPS))
-    B = Aq / p[..., None, None]
+    inv_p = 1.0 / p
+    c00, c11, c22 = b00 * inv_p, b11 * inv_p, b22 * inv_p
+    c01, c02, c12 = a01 * inv_p, a02 * inv_p, a12 * inv_p
     detB = (
-        B[..., 0, 0] * (B[..., 1, 1] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 1])
-        - B[..., 0, 1] * (B[..., 1, 0] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 0])
-        + B[..., 0, 2] * (B[..., 1, 0] * B[..., 2, 1] - B[..., 1, 1] * B[..., 2, 0])
+        c00 * (c11 * c22 - c12 * c12)
+        - c01 * (c01 * c22 - c12 * c02)
+        + c02 * (c01 * c12 - c11 * c02)
     )
     r = jnp.clip(detB / 2.0, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
@@ -45,91 +41,168 @@ def eigh3x3(A: jnp.ndarray):
     lam_max = q + two_p * jnp.cos(phi)
     lam_min = q + two_p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
     lam_mid = 3.0 * q - lam_max - lam_min
-    # nearly-isotropic matrices: eigenvalues all ~q
     iso = p2 < _EPS
     lam_min = jnp.where(iso, q, lam_min)
     lam_mid = jnp.where(iso, q, lam_mid)
     lam_max = jnp.where(iso, q, lam_max)
-    vals = jnp.stack([lam_min, lam_mid, lam_max], axis=-1)
+    return lam_min, lam_mid, lam_max
 
-    def eigvec(lam):
-        M = A - lam[..., None, None] * eye
-        # candidate vectors: cross products of row pairs
-        r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
-        c01 = jnp.cross(r0, r1)
-        c02 = jnp.cross(r0, r2)
-        c12 = jnp.cross(r1, r2)
-        n01 = jnp.sum(c01 * c01, axis=-1)
-        n02 = jnp.sum(c02 * c02, axis=-1)
-        n12 = jnp.sum(c12 * c12, axis=-1)
-        best01 = (n01 >= n02) & (n01 >= n12)
-        best02 = (~best01) & (n02 >= n12)
-        v = jnp.where(best01[..., None], c01, jnp.where(best02[..., None], c02, c12))
-        n = jnp.maximum(n01, jnp.maximum(n02, n12))
-        # degenerate: fall back to e_x (will be fixed by orthogonalization)
-        fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
-        v = jnp.where((n < _EPS)[..., None], fallback, v)
-        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
-    v_min = eigvec(lam_min)
-    v_max = eigvec(lam_max)
-    # ensure orthogonality (handles repeated eigenvalues)
-    v_max = v_max - jnp.sum(v_max * v_min, axis=-1, keepdims=True) * v_min
-    nrm = jnp.linalg.norm(v_max, axis=-1, keepdims=True)
-    alt = jnp.cross(v_min, jnp.zeros_like(v_min).at[..., 2].set(1.0))
-    alt_n = jnp.linalg.norm(alt, axis=-1, keepdims=True)
-    alt2 = jnp.cross(v_min, jnp.zeros_like(v_min).at[..., 1].set(1.0))
-    alt = jnp.where(alt_n < 1e-6, alt2, alt)
-    v_max = jnp.where(nrm < 1e-6, alt / jnp.linalg.norm(alt, axis=-1, keepdims=True), v_max / jnp.maximum(nrm, _EPS))
-    v_mid = jnp.cross(v_max, v_min)
-    vecs = jnp.stack([v_min, v_mid, v_max], axis=-1)  # columns
+def _eigvec3x3(a00, a01, a02, a11, a12, a22, lam):
+    """Eigenvector for eigenvalue lam: largest cross product of rows of (A - lam I)."""
+    m00, m11, m22 = a00 - lam, a11 - lam, a22 - lam
+    # rows: (m00, a01, a02), (a01, m11, a12), (a02, a12, m22)
+    c01x = a01 * a12 - a02 * m11
+    c01y = a02 * a01 - m00 * a12
+    c01z = m00 * m11 - a01 * a01
+    c02x = a01 * m22 - a02 * a12
+    c02y = a02 * a02 - m00 * m22
+    c02z = m00 * a12 - a01 * a02
+    c12x = m11 * m22 - a12 * a12
+    c12y = a12 * a02 - a01 * m22
+    c12z = a01 * a12 - m11 * a02
+    n01 = c01x * c01x + c01y * c01y + c01z * c01z
+    n02 = c02x * c02x + c02y * c02y + c02z * c02z
+    n12 = c12x * c12x + c12y * c12y + c12z * c12z
+    use01 = (n01 >= n02) & (n01 >= n12)
+    use02 = (~use01) & (n02 >= n12)
+    vx = jnp.where(use01, c01x, jnp.where(use02, c02x, c12x))
+    vy = jnp.where(use01, c01y, jnp.where(use02, c02y, c12y))
+    vz = jnp.where(use01, c01z, jnp.where(use02, c02z, c12z))
+    nrm2 = jnp.maximum(vx * vx + vy * vy + vz * vz, _EPS)
+    degenerate = nrm2 <= _EPS * 2
+    vx = jnp.where(degenerate, 1.0, vx)
+    vy = jnp.where(degenerate, 0.0, vy)
+    vz = jnp.where(degenerate, 0.0, vz)
+    inv = 1.0 / jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, _EPS))
+    return vx * inv, vy * inv, vz * inv
+
+
+def eigh3x3_soa(a00, a01, a02, a11, a12, a22):
+    """Full analytic eigendecomposition from components, each (...,).
+
+    Returns (vals (3, ...) ascending, vecs (3, 3, ...)) where vecs[i] is the
+    i-th eigenvector (ascending) and vecs[i][c] its c-th component.
+    """
+    lmin, lmid, lmax = _eigvals3x3(a00, a01, a02, a11, a12, a22)
+    v0 = _eigvec3x3(a00, a01, a02, a11, a12, a22, lmin)
+    v2 = _eigvec3x3(a00, a01, a02, a11, a12, a22, lmax)
+    # orthogonalize v2 against v0 (repeated eigenvalue robustness)
+    dot = v2[0] * v0[0] + v2[1] * v0[1] + v2[2] * v0[2]
+    w = tuple(v2[i] - dot * v0[i] for i in range(3))
+    wn2 = w[0] ** 2 + w[1] ** 2 + w[2] ** 2
+    # fallback: any vector orthogonal to v0
+    alt = (-v0[1], v0[0], jnp.zeros_like(v0[0]))
+    altn2 = alt[0] ** 2 + alt[1] ** 2
+    alt2 = (-v0[2], jnp.zeros_like(v0[0]), v0[0])
+    use_alt2 = altn2 < 1e-12
+    alt = tuple(jnp.where(use_alt2, alt2[i], alt[i]) for i in range(3))
+    altn2 = jnp.where(use_alt2, alt[0] ** 2 + alt[2] ** 2, altn2)
+    bad = wn2 < 1e-12
+    w = tuple(jnp.where(bad, alt[i], w[i]) for i in range(3))
+    wn2 = jnp.where(bad, altn2, wn2)
+    inv = 1.0 / jnp.sqrt(jnp.maximum(wn2, _EPS))
+    v2 = tuple(w[i] * inv for i in range(3))
+    # middle = v2 x v0
+    v1 = (
+        v2[1] * v0[2] - v2[2] * v0[1],
+        v2[2] * v0[0] - v2[0] * v0[2],
+        v2[0] * v0[1] - v2[1] * v0[0],
+    )
+    vals = jnp.stack([lmin, lmid, lmax], axis=0)
+    vecs = jnp.stack([jnp.stack(v0, 0), jnp.stack(v1, 0), jnp.stack(v2, 0)], axis=0)
     return vals, vecs
+
+
+def eigh3x3(A: jnp.ndarray):
+    """AoS convenience wrapper: (..., 3, 3) -> (vals (..., 3), vecs (..., 3, 3))
+    with columns as eigenvectors (jnp.linalg.eigh convention)."""
+    vals, vecs = eigh3x3_soa(
+        A[..., 0, 0], A[..., 0, 1], A[..., 0, 2], A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    )
+    # vals: (3, ...) -> (..., 3); vecs: (3, 3, ...) -> (..., 3, 3) columns
+    vals = jnp.moveaxis(vals, 0, -1)
+    vecs = jnp.moveaxis(jnp.moveaxis(vecs, 0, -1), 0, -2)  # (..., comp, which)
+    return vals, vecs
+
+
+def solve3x3_sym(a00, a01, a02, a11, a12, a22, bx, by, bz):
+    """Closed-form (adjugate) solve of a symmetric 3x3 system, component arrays.
+
+    Returns (x, y, z, det). Caller decides what to do with tiny determinants.
+    """
+    i00 = a11 * a22 - a12 * a12
+    i01 = a02 * a12 - a01 * a22
+    i02 = a01 * a12 - a02 * a11
+    i11 = a00 * a22 - a02 * a02
+    i12 = a01 * a02 - a00 * a12
+    i22 = a00 * a11 - a01 * a01
+    det = a00 * i00 + a01 * i01 + a02 * i02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < _EPS, _EPS, det)
+    x = (i00 * bx + i01 * by + i02 * bz) * inv_det
+    y = (i01 * bx + i11 * by + i12 * bz) * inv_det
+    z = (i02 * bx + i12 * by + i22 * bz) * inv_det
+    return x, y, z, det
 
 
 def plane_fit(pts: jnp.ndarray, mask: jnp.ndarray, threshold: float = 0.1, min_pts: int = 3):
     """Fit plane n.p + d = 0 by solving A n = -1 (reference esti_plane).
 
-    pts: (..., K, 3), mask: (..., K) boolean validity.
-    Returns (coef (..., 4) = [n_hat, d_hat] with |n_hat| = 1, valid (...,)).
+    pts: (3, K, ...), mask: (K, ...) boolean validity.
+    Returns (coef (4, ...) = [n_hat, d_hat] with |n_hat| = 1, valid (...,)).
     `valid` requires >= min_pts points and every masked point within
     `threshold` of the plane — identical semantics to esti_plane.
     """
-    m = mask.astype(pts.dtype)[..., None]
-    A = pts * m
-    b = -m[..., 0]
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    Atb = jnp.einsum("...ki,...k->...i", A, b)
-    # tiny Tikhonov keeps masked-degenerate systems solvable; fits with enough
-    # well-spread points are unaffected at float32 resolution
-    AtA = AtA + 1e-6 * jnp.eye(3, dtype=pts.dtype)
-    n = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
-    # near-singular systems (e.g. a single neighbor) can emit non-finite
-    # solutions in f32; they must not poison downstream masked math
-    finite = jnp.all(jnp.isfinite(n), axis=-1, keepdims=True)
-    n = jnp.where(finite, n, 0.0)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    safe = jnp.maximum(norm, _EPS)
-    n_hat = n / safe
-    d_hat = 1.0 / safe[..., 0]
-    coef = jnp.concatenate([n_hat, d_hat[..., None]], axis=-1)
-    resid = jnp.abs(jnp.einsum("...ki,...i->...k", pts, n_hat) + d_hat[..., None])
-    ok_resid = jnp.all(jnp.where(mask, resid <= threshold, True), axis=-1)
-    enough = jnp.sum(mask, axis=-1) >= min_pts
-    nondegenerate = finite[..., 0] & (norm[..., 0] > _EPS)
-    return coef, ok_resid & enough & nondegenerate
+    m = mask.astype(pts.dtype)
+    px, py, pz = pts[0] * m, pts[1] * m, pts[2] * m
+    a00 = jnp.sum(px * px, axis=0) + 1e-6
+    a01 = jnp.sum(px * py, axis=0)
+    a02 = jnp.sum(px * pz, axis=0)
+    a11 = jnp.sum(py * py, axis=0) + 1e-6
+    a12 = jnp.sum(py * pz, axis=0)
+    a22 = jnp.sum(pz * pz, axis=0) + 1e-6
+    bx = -jnp.sum(px, axis=0)
+    by = -jnp.sum(py, axis=0)
+    bz = -jnp.sum(pz, axis=0)
+    nx, ny, nz, det = solve3x3_sym(a00, a01, a02, a11, a12, a22, bx, by, bz)
+    finite = jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz)
+    nx = jnp.where(finite, nx, 0.0)
+    ny = jnp.where(finite, ny, 0.0)
+    nz = jnp.where(finite, nz, 0.0)
+    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    inv_norm = 1.0 / jnp.maximum(norm, _EPS)
+    nx, ny, nz = nx * inv_norm, ny * inv_norm, nz * inv_norm
+    d = inv_norm[...]
+    coef = jnp.stack([nx, ny, nz, d], axis=0)
+    resid = jnp.abs(pts[0] * nx[None] + pts[1] * ny[None] + pts[2] * nz[None] + d[None])
+    ok_resid = jnp.all(jnp.where(mask, resid <= threshold, True), axis=0)
+    enough = jnp.sum(mask, axis=0) >= min_pts
+    valid = ok_resid & enough & finite & (norm > _EPS)
+    return coef, valid
 
 
 def line_fit(pts: jnp.ndarray, mask: jnp.ndarray, ratio: float = 3.0):
     """LOAM corner line fit: centroid + covariance eigen, valid if l_max > ratio * l_mid.
 
-    Returns (center (..., 3), direction (..., 3) unit, valid (...,)).
+    pts (3, K, ...), mask (K, ...).
+    Returns (center (3, ...), direction (3, ...) unit, valid (...,)).
     """
     m = mask.astype(pts.dtype)
-    cnt = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
-    center = jnp.sum(pts * m[..., None], axis=-2) / cnt
-    d = (pts - center[..., None, :]) * m[..., None]
-    cov = jnp.einsum("...ki,...kj->...ij", d, d) / cnt[..., None]
-    vals, vecs = eigh3x3(cov)
-    direction = vecs[..., :, 2]
-    valid = (vals[..., 2] > ratio * vals[..., 1]) & (jnp.sum(m, axis=-1) >= 3)
+    cnt = jnp.maximum(jnp.sum(m, axis=0), 1.0)
+    cx = jnp.sum(pts[0] * m, axis=0) / cnt
+    cy = jnp.sum(pts[1] * m, axis=0) / cnt
+    cz = jnp.sum(pts[2] * m, axis=0) / cnt
+    dx = (pts[0] - cx[None]) * m
+    dy = (pts[1] - cy[None]) * m
+    dz = (pts[2] - cz[None]) * m
+    a00 = jnp.sum(dx * dx, axis=0) / cnt
+    a01 = jnp.sum(dx * dy, axis=0) / cnt
+    a02 = jnp.sum(dx * dz, axis=0) / cnt
+    a11 = jnp.sum(dy * dy, axis=0) / cnt
+    a12 = jnp.sum(dy * dz, axis=0) / cnt
+    a22 = jnp.sum(dz * dz, axis=0) / cnt
+    vals, vecs = eigh3x3_soa(a00, a01, a02, a11, a12, a22)
+    center = jnp.stack([cx, cy, cz], axis=0)
+    direction = vecs[2]  # largest
+    valid = (vals[2] > ratio * vals[1]) & (jnp.sum(mask, axis=0) >= 3)
     return center, direction, valid

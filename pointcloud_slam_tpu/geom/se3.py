@@ -22,8 +22,12 @@ class Pose(NamedTuple):
     t: jnp.ndarray  # (..., 3)
 
     def apply(self, pts: jnp.ndarray) -> jnp.ndarray:
-        """Transform points (..., N, 3) or (N, 3)."""
-        return pts @ jnp.swapaxes(self.R, -1, -2) + self.t[..., None, :]
+        """Transform an SoA cloud (..., 3, N) -> (..., 3, N).
+
+        Framework-wide layout convention: coordinate axis leading, point axis
+        minor (TPU lane dim).
+        """
+        return self.R @ pts + self.t[..., :, None]
 
     def compose(self, other: "Pose") -> "Pose":
         return Pose(self.R @ other.R, jnp.einsum("...ij,...j->...i", self.R, other.t) + self.t)

@@ -1,4 +1,4 @@
-"""Voxel-grid downsampling with static shapes.
+"""Voxel-grid downsampling with static shapes (SoA layout).
 
 Behavioral parity target: PCL `VoxelGrid` as used by the reference
 (`src/jueying_lio/src/laser_mapping.cc:325` scan downsample, leaf 0.2-0.5 m;
@@ -9,7 +9,7 @@ TPU design: instead of compacting to a data-dependent number of output points,
 the output keeps the input length N with a validity mask selecting one
 representative (the voxel centroid, stored at the first-occurrence index).
 Downstream consumers are mask-aware, so no host round-trip or dynamic shape is
-needed.
+needed. Clouds are (3, N) — coordinate axis leading, point axis minor.
 """
 
 from __future__ import annotations
@@ -20,29 +20,30 @@ import jax.numpy as jnp
 
 @jax.jit
 def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf: float):
-    """Centroid voxel filter. points (N, 3), mask (N,) -> (centroids (N, 3), mask' (N,)).
+    """Centroid voxel filter. points (3, N), mask (N,) -> (centroids (3, N), mask' (N,)).
 
-    Output row i holds the centroid of point i's voxel iff i is the first
-    masked point of that voxel; other rows keep their input value with
+    Output column i holds the centroid of point i's voxel iff i is the first
+    masked point of that voxel; other columns keep their input value with
     mask' == False.
     """
-    N = points.shape[0]
+    N = points.shape[1]
     big = jnp.iinfo(jnp.int32).max
     coords = jnp.floor(points / leaf).astype(jnp.int32)
-    coords = jnp.where(mask[:, None], coords, big)  # unmasked rows sort last
-    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
-    scoords = coords[order]
-    spts = points[order]
-    valid = scoords[:, 0] < big
-    is_first = jnp.concatenate([jnp.ones((1,), bool), jnp.any(scoords[1:] != scoords[:-1], axis=-1)]) & valid
-    seg_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # segment of each sorted row
+    coords = jnp.where(mask[None, :], coords, big)  # unmasked columns sort last
+    order = jnp.lexsort((coords[2], coords[1], coords[0]))
+    sc = coords[:, order]
+    sp = points[:, order]
+    valid = sc[0] < big
+    is_first = jnp.concatenate([jnp.ones((1,), bool), jnp.any(sc[:, 1:] != sc[:, :-1], axis=0)]) & valid
+    seg_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # segment of each sorted column
     tgt = jnp.where(valid, seg_id, N)
-    seg_sum = jnp.zeros((N, 3), points.dtype).at[tgt].add(spts, mode="drop")
+    seg_sum = jnp.zeros((3, N), points.dtype)
+    seg_sum = seg_sum.at[:, tgt].add(sp, mode="drop")
     seg_cnt = jnp.zeros((N,), points.dtype).at[tgt].add(1.0, mode="drop")
-    centroid = seg_sum / jnp.maximum(seg_cnt[:, None], 1.0)
-    # place each segment's centroid at the original index of its first sorted row
+    centroid = seg_sum / jnp.maximum(seg_cnt[None, :], 1.0)
+    # place each segment's centroid at the original index of its first sorted column
     first_tgt = jnp.where(is_first, order, N)
-    out = points.at[first_tgt].set(centroid[jnp.maximum(seg_id, 0)], mode="drop")
+    out = points.at[:, first_tgt].set(centroid[:, jnp.maximum(seg_id, 0)], mode="drop")
     out_mask = jnp.zeros((N,), bool).at[first_tgt].set(True, mode="drop")
     return out, out_mask
 
@@ -50,7 +51,7 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf: float):
 @jax.jit
 def random_decimate(points: jnp.ndarray, mask: jnp.ndarray, every_n: jnp.ndarray):
     """Keep every n-th masked point (reference point_filter_num semantics,
-    pointcloud_preprocess.cc decimation)."""
+    pointcloud_preprocess.cc decimation). points (3, N)."""
     idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
     keep = mask & (idx % every_n == 0)
     return points, keep

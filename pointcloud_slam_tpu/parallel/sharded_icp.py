@@ -33,7 +33,7 @@ def sharded_point_to_plane_icp(
     mesh: Mesh,
     grid_cfg: ops.GridConfig,
     grid: ops.VoxelHashMap,
-    source: jnp.ndarray,       # (B, N, 3) — B sharded over dp, N over sp
+    source: jnp.ndarray,       # (B, 3, N) — B sharded over dp, N over sp
     source_mask: jnp.ndarray,  # (B, N)
     init_pose: se3.Pose,       # (B, 3, 3), (B, 3)
     cfg: icp_mod.ICPConfig = icp_mod.ICPConfig(),
@@ -41,7 +41,7 @@ def sharded_point_to_plane_icp(
     """Batch of B scan-to-map alignments against a shared (replicated) map."""
 
     def local_solve(grid_local, src, mask, R0, t0):
-        # src: (B/dp, N/sp, 3) on this device
+        # src: (B/dp, 3, N/sp) on this device
         def one(src_i, mask_i, R0_i, t0_i):
             def linearize(pose):
                 H, b, err, _ = icp_mod._linearize(cfg, grid_cfg, grid_local, src_i, mask_i, pose)
@@ -58,7 +58,7 @@ def sharded_point_to_plane_icp(
     fn = shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=(P(), P("dp", "sp", None), P("dp", "sp"), P("dp", None, None), P("dp", None)),
+        in_specs=(P(), P("dp", None, "sp"), P("dp", "sp"), P("dp", None, None), P("dp", None)),
         out_specs=(P("dp", None, None), P("dp", None), P("dp"), P("dp")),
     )
     R, t, conv, iters = fn(grid, source, source_mask, init_pose.R, init_pose.t)

@@ -31,6 +31,15 @@ class ICPConfig:
     min_neighbors: int = 3          # options::MIN_NUM_MATCH_POINTS
     max_corr_dist: float = 5.0      # kNN range gate
     plane_threshold: float = 0.1    # options::ESTI_PLANE_THRESHOLD
+    # re-run the kNN + plane-fit search every this many GN iterations and
+    # reuse the cached planes in between (the reference equally skips the NN
+    # search between IEKF iterations until re-convergence, laser_mapping.cc:618;
+    # residuals against cached planes are re-evaluated at the fresh pose).
+    # An additional adaptive refresh fires whenever the previous GN step moved
+    # far enough to invalidate the cached correspondences.
+    search_every: int = 5
+    refresh_trans: float = 0.05  # m: re-search if the last step moved more
+    refresh_rot: float = 0.02    # rad
     solver: solver.SolverConfig = dataclasses.field(default_factory=lambda: solver.SolverConfig())
 
 
@@ -50,28 +59,40 @@ def correspondences(
     pts_world: jnp.ndarray,
     mask: jnp.ndarray,
 ):
-    """5-NN + plane fit for each world-frame point.
+    """5-NN + plane fit for each world-frame point. pts_world is (3, N).
 
-    Returns (coef (N, 4) plane [n, d], valid (N,)).
+    Returns (coef (4, N) plane [n, d], valid (N,)).
     """
     nbrs, d2, cnt = ops.knn(grid_cfg, grid, pts_world, k=cfg.num_neighbors, max_range=cfg.max_corr_dist)
-    nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) < cnt[:, None]
+    nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
     coef, plane_ok = fit.plane_fit(nbrs, nmask, threshold=cfg.plane_threshold, min_pts=cfg.min_neighbors)
     valid = mask & plane_ok & (cnt >= cfg.min_neighbors)
     return coef, valid
 
 
+def _linearize_cached(coef, valid, pw, dtype):
+    """Residual/Jacobian against cached plane coefficients at the pose `pw`."""
+    # select-with-where (not multiply): invalid fits may hold non-finite values
+    nx = jnp.where(valid, coef[0], 0.0)
+    ny = jnp.where(valid, coef[1], 0.0)
+    nz = jnp.where(valid, coef[2], 0.0)
+    r_w = jnp.where(valid, pw[0] * nx + pw[1] * ny + pw[2] * nz + coef[3], 0.0)
+    # left-multiplicative tangent: dr/d[omega, v] = [(pw x n), n]
+    cx = pw[1] * nz - pw[2] * ny
+    cy = pw[2] * nx - pw[0] * nz
+    cz = pw[0] * ny - pw[1] * nx
+    J = jnp.stack([cx, cy, cz, nx, ny, nz], axis=0)  # (6, N)
+    H = J @ J.T
+    b = J @ r_w
+    err = jnp.sum(r_w * r_w)
+    return H, b, err
+
+
 def _linearize(cfg, grid_cfg, grid, src, mask, pose):
+    """src (3, N) in sensor frame. Returns (H (6,6), b (6,), err, n_inliers)."""
     pw = pose.apply(src)
     coef, valid = correspondences(cfg, grid_cfg, grid, pw, mask)
-    # select-with-where (not multiply): invalid fits may hold non-finite values
-    n = jnp.where(valid[:, None], coef[:, :3], 0.0)
-    r_w = jnp.where(valid, jnp.sum(n * pw, axis=-1) + coef[:, 3], 0.0)
-    # left-multiplicative tangent: dr/d[omega, v] = [(pw x n), n]
-    J = jnp.concatenate([jnp.cross(pw, n), n], axis=-1)
-    H = J.T @ J
-    b = J.T @ r_w
-    err = jnp.sum(r_w * r_w)
+    H, b, err = _linearize_cached(coef, valid, pw, src.dtype)
     return H, b, err, jnp.sum(valid)
 
 
@@ -84,21 +105,51 @@ def point_to_plane_icp(
     init_pose: Optional[se3.Pose] = None,
     cfg: ICPConfig = ICPConfig(),
 ) -> ICPResult:
-    """Align `source` (N, 3) to the map. Returns the world<-source pose."""
+    """Align `source` (3, N) to the map. Returns the world<-source pose."""
     if source_mask is None:
-        source_mask = jnp.ones(source.shape[0], bool)
+        source_mask = jnp.ones(source.shape[1], bool)
     if init_pose is None:
         init_pose = se3.identity(source.dtype)
 
-    num_inliers = jnp.zeros((), jnp.int32)
+    scfg = cfg.solver
+    N = source.shape[1]
+    dtype = source.dtype
 
-    def linearize(pose):
-        H, b, err, _ = _linearize(cfg, grid_cfg, grid, source, source_mask, pose)
-        return H, b, err
+    def search(pose):
+        pw = pose.apply(source)
+        return correspondences(cfg, grid_cfg, grid, pw, source_mask)
 
-    res = solver.gauss_newton(linearize, init_pose, cfg.solver)
-    _, _, err, ninl = _linearize(cfg, grid_cfg, grid, source, source_mask, res.pose)
-    return ICPResult(res.pose, res.converged, res.iterations, err, ninl, res.H)
+    def body(carry, it):
+        pose, done, iters, coef, valid, H_last, big_step = carry
+        do_search = ((it % cfg.search_every == 0) | big_step) & ~done
+        coef, valid = jax.lax.cond(do_search, lambda: search(pose), lambda: (coef, valid))
+        pw = pose.apply(source)
+        H, b, err = _linearize_cached(coef, valid, pw, dtype)
+        d = solver._solve_step(H, b, jnp.zeros((), dtype), scfg.degeneracy_threshold)
+        conv = solver._converged(d, scfg)
+        pose_new = se3.retract_left(pose, d)
+        pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
+        iters = iters + jnp.where(done, 0, 1)
+        done = done | conv
+        big_step = (jnp.max(jnp.abs(d[:3])) > cfg.refresh_rot) | (jnp.max(jnp.abs(d[3:])) > cfg.refresh_trans)
+        return (pose, done, iters, coef, valid, H, big_step), None
+
+    zero_s = jnp.sum(init_pose.t) * 0
+    init = (
+        init_pose,
+        zero_s > 1.0,
+        zero_s.astype(jnp.int32),
+        jnp.zeros((4, N), dtype) + zero_s,
+        (zero_s > 1.0) & jnp.zeros((N,), bool),
+        jnp.zeros((6, 6), dtype) + zero_s,
+        zero_s > 1.0,
+    )
+    (pose, done, iters, coef, valid, H, _big), _ = jax.lax.scan(
+        body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32)
+    )
+    # final stats with a fresh search at the converged pose
+    _, _, err, ninl = _linearize(cfg, grid_cfg, grid, source, source_mask, pose)
+    return ICPResult(pose, done, iters, err, ninl, H)
 
 
 def build_target_map(
@@ -106,11 +157,11 @@ def build_target_map(
     mask: Optional[jnp.ndarray] = None,
     grid_cfg: Optional[ops.GridConfig] = None,
 ) -> tuple:
-    """Convenience: drop a target cloud into a fresh voxel map for pairwise ICP."""
+    """Convenience: drop a target cloud (3, N) into a fresh voxel map."""
     if grid_cfg is None:
         grid_cfg = ops.GridConfig()
     if mask is None:
-        mask = jnp.ones(target.shape[0], bool)
+        mask = jnp.ones(target.shape[1], bool)
     grid = ops.create(grid_cfg, dtype=target.dtype)
     grid = ops.insert(grid_cfg, grid, target, mask)
     return grid_cfg, grid
@@ -129,6 +180,6 @@ def fitness_score(
     e.g. mapOptmization.cpp:693, localization.cpp:342-375)."""
     _, d2, cnt = ops.knn(grid_cfg, grid, source_world, k=1, max_range=max_range)
     matched = (cnt > 0) & mask
-    d = jnp.where(matched, d2[:, 0], 0.0)
+    d = jnp.where(matched, d2[0, :], 0.0)
     n = jnp.maximum(jnp.sum(matched), 1)
     return jnp.sum(d) / n, jnp.sum(matched)

@@ -150,9 +150,9 @@ class TestSE3:
 
     def test_apply(self, rng):
         p = se3.exp(jnp.asarray(rng.normal(size=6) * 0.5, jnp.float32))
-        pts = jnp.asarray(rng.normal(size=(10, 3)), jnp.float32)
+        pts = jnp.asarray(rng.normal(size=(3, 10)), jnp.float32)
         got = p.apply(pts)
-        want = np.asarray(pts) @ np.asarray(p.R).T + np.asarray(p.t)
+        want = np.asarray(p.R) @ np.asarray(pts) + np.asarray(p.t)[:, None]
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
@@ -177,22 +177,21 @@ class TestFit:
         np.testing.assert_allclose(V.T @ V, np.eye(3), atol=1e-5)
 
     def test_plane_fit_exact(self, rng):
-        n = np.array([0.0, 0.0, 1.0])
-        d = -2.0
+        # SoA layout: (3, K, N)
         pts = rng.normal(size=(5, 3))
         pts[:, 2] = 2.0  # z = 2 plane
-        coef, valid = fit.plane_fit(jnp.asarray(pts[None], jnp.float32), jnp.ones((1, 5), bool))
-        coef = np.asarray(coef[0])
+        soa = jnp.asarray(pts.T[:, :, None], jnp.float32)  # (3, 5, 1)
+        coef, valid = fit.plane_fit(soa, jnp.ones((5, 1), bool))
+        coef = np.asarray(coef[:, 0])
         assert bool(valid[0])
-        np.testing.assert_allclose(np.abs(coef[:3] @ n), 1.0, atol=1e-4)
-        np.testing.assert_allclose(coef[:3] * 2.0 + coef[3] * n * 0 + np.array([0, 0, coef[3]]) @ n * n, coef[:3] * 2 + np.array([0, 0, coef[3]]), atol=1)
         # plane equation: n.p + d = 0 for all points
         resid = pts @ coef[:3] + coef[3]
         np.testing.assert_allclose(resid, 0, atol=1e-4)
 
     def test_plane_fit_rejects_nonplanar(self, rng):
-        pts = rng.normal(size=(1, 5, 3)) * 5
-        _, valid = fit.plane_fit(jnp.asarray(pts, jnp.float32), jnp.ones((1, 5), bool), threshold=0.01)
+        pts = rng.normal(size=(5, 3)) * 5
+        soa = jnp.asarray(pts.T[:, :, None], jnp.float32)
+        _, valid = fit.plane_fit(soa, jnp.ones((5, 1), bool), threshold=0.01)
         assert not bool(valid[0])
 
     def test_plane_fit_respects_mask(self, rng):
@@ -200,29 +199,33 @@ class TestFit:
         pts[:, 2] = 1.0
         pts_bad = np.concatenate([pts, [[0, 0, 50.0]]], axis=0)  # outlier masked away
         mask = np.array([True] * 5 + [False])
-        coef, valid = fit.plane_fit(jnp.asarray(pts_bad[None], jnp.float32), jnp.asarray(mask[None]))
+        soa = jnp.asarray(pts_bad.T[:, :, None], jnp.float32)
+        coef, valid = fit.plane_fit(soa, jnp.asarray(mask[:, None]))
         assert bool(valid[0])
-        resid = pts @ np.asarray(coef[0, :3]) + np.asarray(coef[0, 3])
+        resid = pts @ np.asarray(coef[:3, 0]) + np.asarray(coef[3, 0])
         np.testing.assert_allclose(resid, 0, atol=1e-3)
 
     def test_plane_fit_min_points(self, rng):
-        pts = rng.normal(size=(1, 5, 3)).astype(np.float32)
-        mask = np.zeros((1, 5), bool)
-        mask[0, :2] = True  # only 2 points < min 3
-        _, valid = fit.plane_fit(jnp.asarray(pts), jnp.asarray(mask))
+        pts = rng.normal(size=(5, 3)).astype(np.float32)
+        mask = np.zeros((5,), bool)
+        mask[:2] = True  # only 2 points < min 3
+        soa = jnp.asarray(pts.T[:, :, None], jnp.float32)
+        _, valid = fit.plane_fit(soa, jnp.asarray(mask[:, None]))
         assert not bool(valid[0])
 
     def test_line_fit(self, rng):
         direction = np.array([1.0, 1.0, 0.0]) / np.sqrt(2)
         ts = np.linspace(-1, 1, 5)
         pts = ts[:, None] * direction + np.array([1.0, 2.0, 3.0]) + rng.normal(size=(5, 3)) * 1e-3
-        center, dirn, valid = fit.line_fit(jnp.asarray(pts[None], jnp.float32), jnp.ones((1, 5), bool))
+        soa = jnp.asarray(pts.T[:, :, None], jnp.float32)
+        center, dirn, valid = fit.line_fit(soa, jnp.ones((5, 1), bool))
         assert bool(valid[0])
-        np.testing.assert_allclose(np.abs(np.asarray(dirn[0]) @ direction), 1.0, atol=1e-3)
-        np.testing.assert_allclose(np.asarray(center[0]), [1, 2, 3], atol=1e-2)
+        np.testing.assert_allclose(np.abs(np.asarray(dirn[:, 0]) @ direction), 1.0, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(center[:, 0]), [1, 2, 3], atol=1e-2)
 
     def test_line_fit_rejects_plane(self):
         # symmetric planar pattern: lambda_max == lambda_mid, no dominant line
-        pts = np.array([[[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 0]]], np.float32)
-        _, _, valid = fit.line_fit(jnp.asarray(pts), jnp.ones((1, 5), bool))
+        pts = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 0]], np.float32)
+        soa = jnp.asarray(pts.T[:, :, None], jnp.float32)
+        _, _, valid = fit.line_fit(soa, jnp.ones((5, 1), bool))
         assert not bool(valid[0])

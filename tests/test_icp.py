@@ -20,9 +20,13 @@ def setup_pair(seed=0, n=4000):
     return world, src.astype(np.float32), R, t
 
 
+def soa(x):
+    return jnp.asarray(np.ascontiguousarray(np.asarray(x).T))
+
+
 def run_icp(world, src, init=None):
-    grid_cfg, grid = register.build_target_map(jnp.asarray(world), grid_cfg=GRID)
-    res = register.point_to_plane_icp(grid_cfg, grid, jnp.asarray(src), init_pose=init)
+    grid_cfg, grid = register.build_target_map(soa(world), grid_cfg=GRID)
+    res = register.point_to_plane_icp(grid_cfg, grid, soa(src), init_pose=init)
     return res
 
 
@@ -70,23 +74,23 @@ class TestPointToPlaneICP:
 
     def test_fitness_score(self):
         world, src, R, t = setup_pair()
-        grid_cfg, grid = register.build_target_map(jnp.asarray(world), grid_cfg=GRID)
+        grid_cfg, grid = register.build_target_map(soa(world), grid_cfg=GRID)
         pose = se3.Pose(jnp.asarray(R), jnp.asarray(t))
-        aligned = pose.apply(jnp.asarray(src))
+        aligned = pose.apply(soa(src))
         score, n = register.fitness_score(grid_cfg, grid, aligned, jnp.ones(len(src), bool))
         assert float(score) < 1e-3
-        misaligned = jnp.asarray(src) + jnp.asarray([0.3, 0.2, 0.1])
+        misaligned = soa(src) + jnp.asarray([[0.3], [0.2], [0.1]])
         score2, _ = register.fitness_score(grid_cfg, grid, misaligned, jnp.ones(len(src), bool))
         assert float(score2) > float(score)
 
     def test_jit_compiles_once(self):
         """The whole solve must be jittable as a single program."""
         world, src, _, _ = setup_pair()
-        grid_cfg, grid = register.build_target_map(jnp.asarray(world), grid_cfg=GRID)
+        grid_cfg, grid = register.build_target_map(soa(world), grid_cfg=GRID)
 
         @jax.jit
         def solve(grid, src):
             return register.point_to_plane_icp(grid_cfg, grid, src)
 
-        res = solve(grid, jnp.asarray(src))
+        res = solve(grid, soa(src))
         assert bool(res.converged)

@@ -19,7 +19,7 @@ def test_mesh_has_8_devices():
 def test_sharded_icp_matches_single_device():
     mesh = parallel.make_mesh()
     world = synthetic.make_room_cloud(2048, seed=0)
-    grid_cfg, grid = register.build_target_map(jnp.asarray(world), grid_cfg=GRID)
+    grid_cfg, grid = register.build_target_map(jnp.asarray(world.T), grid_cfg=GRID)
 
     B = mesh.shape["dp"] * 2
     srcs, poses_R, poses_t = [], [], []
@@ -28,8 +28,8 @@ def test_sharded_icp_matches_single_device():
         srcs.append((world - t) @ R)
         poses_R.append(R)
         poses_t.append(t)
-    src = jnp.asarray(np.stack(srcs), jnp.float32)  # (B, N, 3)
-    mask = jnp.ones(src.shape[:2], bool)
+    src = jnp.asarray(np.stack(srcs).transpose(0, 2, 1), jnp.float32)  # (B, 3, N)
+    mask = jnp.ones((src.shape[0], src.shape[2]), bool)
     init = se3.identity(batch=(B,))
 
     pose, conv, iters = parallel.sharded_point_to_plane_icp(mesh, grid_cfg, grid, src, mask, init)

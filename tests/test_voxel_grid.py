@@ -8,23 +8,22 @@ from pointcloud_slam_tpu import ops
 CFG = ops.GridConfig(capacity=1 << 12, pts_per_voxel=8, resolution=0.5, nearby=7)
 
 
-def brute_knn(db, q, k, max_range):
-    d2 = np.sum((db[None, :, :] - q[:, None, :]) ** 2, axis=-1)
-    d2[d2 > max_range**2] = np.inf
-    idx = np.argsort(d2, axis=1)[:, :k]
-    return np.take_along_axis(d2, idx, axis=1)
+def soa(x):
+    """host (N, 3) -> device (3, N)"""
+    import jax.numpy as jnp
+    return jnp.asarray(np.ascontiguousarray(x.T))
 
 
 class TestInsertLookup:
     def test_insert_and_lookup(self, rng):
         pts = rng.uniform(-5, 5, size=(256, 3)).astype(np.float32)
         grid = ops.create(CFG)
-        grid = ops.insert(CFG, grid, jnp.asarray(pts), jnp.ones(256, bool))
-        coords = ops.point_to_voxel(jnp.asarray(pts), CFG.resolution)
+        grid = ops.insert(CFG, grid, soa(pts), jnp.ones(256, bool))
+        coords = ops.point_to_voxel(soa(pts), CFG.resolution)
         slots = ops.lookup(CFG, grid, coords)
         assert np.all(np.asarray(slots) >= 0), "every inserted voxel must be findable"
         # slot keys must match coords
-        ks = np.asarray(grid.keys)[np.asarray(slots)]
+        ks = np.asarray(grid.keys)[:, np.asarray(slots)]
         np.testing.assert_array_equal(ks, np.asarray(coords))
 
     def test_masked_points_not_inserted(self, rng):
@@ -32,7 +31,7 @@ class TestInsertLookup:
         mask = np.zeros(64, bool)
         mask[:10] = True
         grid = ops.create(CFG)
-        grid = ops.insert(CFG, grid, jnp.asarray(pts), jnp.asarray(mask))
+        grid = ops.insert(CFG, grid, soa(pts), jnp.asarray(mask))
         n_vox_expected = len(np.unique(np.floor(pts[:10] / CFG.resolution).astype(np.int32), axis=0))
         assert int(ops.num_voxels(grid)) == n_vox_expected
 
@@ -41,17 +40,17 @@ class TestInsertLookup:
         pts1 = np.array([[0.1, 0.1, 0.1]], np.float32)
         pts2 = np.array([[0.2, 0.2, 0.2]], np.float32)
         grid = ops.create(CFG)
-        grid = ops.insert(CFG, grid, jnp.asarray(pts1), jnp.ones(1, bool))
-        grid = ops.insert(CFG, grid, jnp.asarray(pts2), jnp.ones(1, bool))
-        slot = int(ops.lookup(CFG, grid, ops.point_to_voxel(jnp.asarray(pts1), CFG.resolution))[0])
+        grid = ops.insert(CFG, grid, soa(pts1), jnp.ones(1, bool))
+        grid = ops.insert(CFG, grid, soa(pts2), jnp.ones(1, bool))
+        slot = int(ops.lookup(CFG, grid, ops.point_to_voxel(soa(pts1), CFG.resolution))[0])
         assert int(grid.npts[slot]) == 2
 
     def test_per_voxel_overflow_drops(self):
         # 20 points into one voxel with pts_per_voxel=8 -> count caps at 8
         pts = (np.random.default_rng(1).uniform(0, 0.49, size=(20, 3))).astype(np.float32)
         grid = ops.create(CFG)
-        grid = ops.insert(CFG, grid, jnp.asarray(pts), jnp.ones(20, bool))
-        slot = int(ops.lookup(CFG, grid, ops.point_to_voxel(jnp.asarray(pts[:1]), CFG.resolution))[0])
+        grid = ops.insert(CFG, grid, soa(pts), jnp.ones(20, bool))
+        slot = int(ops.lookup(CFG, grid, ops.point_to_voxel(soa(pts[:1]), CFG.resolution))[0])
         assert int(grid.npts[slot]) == CFG.pts_per_voxel
 
     def test_in_batch_duplicate_voxels(self, rng):
@@ -59,8 +58,8 @@ class TestInsertLookup:
         base = np.array([[0.25, 0.25, 0.25], [1.25, 0.25, 0.25], [0.25, 1.25, 0.25]], np.float32)
         pts = np.repeat(base, 3, axis=0) + rng.uniform(-0.1, 0.1, size=(9, 3)).astype(np.float32)
         grid = ops.create(CFG)
-        grid = ops.insert(CFG, grid, jnp.asarray(pts), jnp.ones(9, bool))
-        coords = ops.point_to_voxel(jnp.asarray(base), CFG.resolution)
+        grid = ops.insert(CFG, grid, soa(pts), jnp.ones(9, bool))
+        coords = ops.point_to_voxel(soa(base), CFG.resolution)
         slots = np.asarray(ops.lookup(CFG, grid, coords))
         counts = np.asarray(grid.npts)[slots]
         np.testing.assert_array_equal(counts, [3, 3, 3])
@@ -72,9 +71,9 @@ class TestKNN:
         q = rng.uniform(-2, 2, size=(64, 3)).astype(np.float32)
         cfg = ops.GridConfig(capacity=1 << 13, pts_per_voxel=32, resolution=1.0, nearby=27)
         grid = ops.create(cfg)
-        grid = ops.insert(cfg, grid, jnp.asarray(db), jnp.ones(len(db), bool))
-        nbrs, d2, cnt = ops.knn(cfg, grid, jnp.asarray(q), k=5, max_range=5.0)
-        d2 = np.sort(np.asarray(d2), axis=1)
+        grid = ops.insert(cfg, grid, soa(db), jnp.ones(len(db), bool))
+        nbrs, d2, cnt = ops.knn(cfg, grid, soa(q), k=5, max_range=5.0)
+        d2 = np.sort(np.asarray(d2).T, axis=1)
         # brute force restricted to the 27-voxel stencil neighborhood of each query
         res = cfg.resolution
         for i in range(len(q)):
@@ -95,13 +94,13 @@ class TestKNN:
         db = np.array([[0.0, 0, 0], [10.0, 0, 0]], np.float32)
         cfg = ops.GridConfig(capacity=1 << 10, pts_per_voxel=4, resolution=8.0, nearby=7)
         grid = ops.create(cfg)
-        grid = ops.insert(cfg, grid, jnp.asarray(db), jnp.ones(2, bool))
-        _, d2, cnt = ops.knn(cfg, grid, jnp.asarray([[1.0, 0, 0]], np.float32), k=5, max_range=5.0)
+        grid = ops.insert(cfg, grid, soa(db), jnp.ones(2, bool))
+        _, d2, cnt = ops.knn(cfg, grid, soa(np.array([[1.0, 0, 0]], np.float32)), k=5, max_range=5.0)
         assert int(cnt[0]) == 1  # 10m point excluded by range even though in stencil
 
     def test_knn_empty_map(self):
         grid = ops.create(CFG)
-        _, d2, cnt = ops.knn(CFG, grid, jnp.zeros((4, 3), jnp.float32), k=5)
+        _, d2, cnt = ops.knn(CFG, grid, jnp.zeros((3, 4), jnp.float32), k=5)
         assert np.all(np.asarray(cnt) == 0)
 
 
@@ -112,9 +111,9 @@ class TestEviction:
         grid = ops.create(cfg)
         for wave in range(8):
             pts = (rng.uniform(0, 4, size=(32, 3)) + wave * 10).astype(np.float32)
-            grid = ops.insert(cfg, grid, jnp.asarray(pts), jnp.ones(32, bool))
+            grid = ops.insert(cfg, grid, soa(pts), jnp.ones(32, bool))
         # most recent wave must be mostly present
-        coords = ops.point_to_voxel(jnp.asarray(pts), cfg.resolution)
+        coords = ops.point_to_voxel(soa(pts), cfg.resolution)
         slots = np.asarray(ops.lookup(cfg, grid, coords))
         assert (slots >= 0).mean() > 0.6
 
@@ -122,8 +121,8 @@ class TestEviction:
 class TestDownsample:
     def test_centroid_one_per_voxel(self, rng):
         pts = rng.uniform(-2, 2, size=(256, 3)).astype(np.float32)
-        out, mask = ops.voxel_downsample(jnp.asarray(pts), jnp.ones(256, bool), leaf=1.0)
-        out, mask = np.asarray(out), np.asarray(mask)
+        out, mask = ops.voxel_downsample(soa(pts), jnp.ones(256, bool), leaf=1.0)
+        out, mask = np.asarray(out).T, np.asarray(mask)
         vox = np.floor(pts / 1.0).astype(np.int32)
         uniq = np.unique(vox, axis=0)
         assert mask.sum() == len(uniq)
@@ -136,12 +135,12 @@ class TestDownsample:
     def test_downsample_respects_mask(self, rng):
         pts = rng.uniform(-2, 2, size=(64, 3)).astype(np.float32)
         mask = np.zeros(64, bool)
-        out, omask = ops.voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), leaf=0.5)
+        out, omask = ops.voxel_downsample(soa(pts), jnp.asarray(mask), leaf=0.5)
         assert np.asarray(omask).sum() == 0
 
     def test_decimate(self):
         pts = np.zeros((10, 3), np.float32)
         mask = np.ones(10, bool)
         mask[0] = False
-        _, keep = ops.random_decimate(jnp.asarray(pts), jnp.asarray(mask), 3)
+        _, keep = ops.random_decimate(soa(pts), jnp.asarray(mask), 3)
         np.testing.assert_array_equal(np.asarray(keep), [False, True, False, False, True, False, False, True, False, False])
