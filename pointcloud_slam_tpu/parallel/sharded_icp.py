@@ -41,17 +41,15 @@ def sharded_point_to_plane_icp(
     """Batch of B scan-to-map alignments against a shared (replicated) map."""
 
     def local_solve(grid_local, src, mask, R0, t0):
-        # src: (B/dp, 3, N/sp) on this device
+        # src: (B/dp, 3, N/sp) on this device; identical iteration structure
+        # (cached-search GN) to the single-device solver, with psum over sp
         def one(src_i, mask_i, R0_i, t0_i):
-            def linearize(pose):
-                H, b, err, _ = icp_mod._linearize(cfg, grid_cfg, grid_local, src_i, mask_i, pose)
-                H = jax.lax.psum(H, "sp")
-                b = jax.lax.psum(b, "sp")
-                err = jax.lax.psum(err, "sp")
-                return H, b, err
+            def search(pose):
+                pw = pose.apply(src_i)
+                return icp_mod.correspondences(cfg, grid_cfg, grid_local, pw, mask_i)
 
-            res = solver_mod.gauss_newton(linearize, se3.Pose(R0_i, t0_i), cfg.solver)
-            return res.pose.R, res.pose.t, res.converged, res.iterations
+            pose, done, iters, _H = icp_mod.icp_loop(cfg, src_i, se3.Pose(R0_i, t0_i), search, psum_axis="sp")
+            return pose.R, pose.t, done, iters
 
         return jax.vmap(one)(src, mask, R0, t0)
 

@@ -96,6 +96,55 @@ def _linearize(cfg, grid_cfg, grid, src, mask, pose):
     return H, b, err, jnp.sum(valid)
 
 
+def icp_loop(cfg: ICPConfig, source: jnp.ndarray, init_pose: se3.Pose, search, psum_axis: Optional[str] = None):
+    """The cached-search GN iteration shared by the single-device and
+    point-axis-sharded solvers. `search(pose) -> (coef (4, N), valid (N,))`
+    produces plane correspondences for this device's point shard; when
+    `psum_axis` is set, (H, b, err) are combined across that mesh axis so all
+    devices apply the identical 6-DoF update."""
+    scfg = cfg.solver
+    N = source.shape[1]
+    dtype = source.dtype
+
+    def body(carry, it):
+        pose, done, iters, coef, valid, H_last, big_step = carry
+        do_search = ((it % cfg.search_every == 0) | big_step) & ~done
+        coef, valid = jax.lax.cond(do_search, lambda: search(pose), lambda: (coef, valid))
+        pw = pose.apply(source)
+        H, b, err = _linearize_cached(coef, valid, pw, dtype)
+        if psum_axis is not None:
+            H = jax.lax.psum(H, psum_axis)
+            b = jax.lax.psum(b, psum_axis)
+            err = jax.lax.psum(err, psum_axis)
+        d = solver._solve_step(H, b, jnp.zeros((), dtype), scfg.degeneracy_threshold)
+        conv = solver._converged(d, scfg)
+        pose_new = se3.retract_left(pose, d)
+        pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
+        iters = iters + jnp.where(done, 0, 1)
+        done = done | conv
+        big_step = (jnp.max(jnp.abs(d[:3])) > cfg.refresh_rot) | (jnp.max(jnp.abs(d[3:])) > cfg.refresh_trans)
+        return (pose, done, iters, coef, valid, H, big_step), None
+
+    zero_s = jnp.sum(init_pose.t) * 0
+    # the correspondence cache inits derive from `source` so their varying-axis
+    # typing matches search()'s output inside shard_map (source is the sharded
+    # operand; the pose is replicated over the point axis)
+    zero_n = jnp.sum(source) * 0
+    init = (
+        init_pose,
+        zero_s > 1.0,
+        zero_s.astype(jnp.int32),
+        jnp.zeros((4, N), dtype) + zero_n,
+        (zero_n > 1.0) & jnp.zeros((N,), bool),
+        jnp.zeros((6, 6), dtype) + zero_s,
+        zero_s > 1.0,
+    )
+    (pose, done, iters, coef, valid, H, _big), _ = jax.lax.scan(
+        body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32)
+    )
+    return pose, done, iters, H
+
+
 @functools.partial(jax.jit, static_argnames=("grid_cfg", "cfg"))
 def point_to_plane_icp(
     grid_cfg: ops.GridConfig,
@@ -111,42 +160,11 @@ def point_to_plane_icp(
     if init_pose is None:
         init_pose = se3.identity(source.dtype)
 
-    scfg = cfg.solver
-    N = source.shape[1]
-    dtype = source.dtype
-
     def search(pose):
         pw = pose.apply(source)
         return correspondences(cfg, grid_cfg, grid, pw, source_mask)
 
-    def body(carry, it):
-        pose, done, iters, coef, valid, H_last, big_step = carry
-        do_search = ((it % cfg.search_every == 0) | big_step) & ~done
-        coef, valid = jax.lax.cond(do_search, lambda: search(pose), lambda: (coef, valid))
-        pw = pose.apply(source)
-        H, b, err = _linearize_cached(coef, valid, pw, dtype)
-        d = solver._solve_step(H, b, jnp.zeros((), dtype), scfg.degeneracy_threshold)
-        conv = solver._converged(d, scfg)
-        pose_new = se3.retract_left(pose, d)
-        pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
-        iters = iters + jnp.where(done, 0, 1)
-        done = done | conv
-        big_step = (jnp.max(jnp.abs(d[:3])) > cfg.refresh_rot) | (jnp.max(jnp.abs(d[3:])) > cfg.refresh_trans)
-        return (pose, done, iters, coef, valid, H, big_step), None
-
-    zero_s = jnp.sum(init_pose.t) * 0
-    init = (
-        init_pose,
-        zero_s > 1.0,
-        zero_s.astype(jnp.int32),
-        jnp.zeros((4, N), dtype) + zero_s,
-        (zero_s > 1.0) & jnp.zeros((N,), bool),
-        jnp.zeros((6, 6), dtype) + zero_s,
-        zero_s > 1.0,
-    )
-    (pose, done, iters, coef, valid, H, _big), _ = jax.lax.scan(
-        body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32)
-    )
+    pose, done, iters, H = icp_loop(cfg, source, init_pose, search)
     # final stats with a fresh search at the converged pose
     _, _, err, ninl = _linearize(cfg, grid_cfg, grid, source, source_mask, pose)
     return ICPResult(pose, done, iters, err, ninl, H)
