@@ -74,37 +74,58 @@ def random_pose(seed: int = 0, rot_scale: float = 0.1, trans_scale: float = 0.5)
     return R.astype(np.float32), t.astype(np.float32)
 
 
-def make_imu_trajectory(n_frames: int, imu_per_frame: int = 20, frame_dt: float = 0.1, seed: int = 0, gravity: float = 9.809):
-    """Smooth sinusoidal trajectory with exact IMU measurements.
+def make_imu_trajectory(
+    n_frames: int,
+    imu_per_frame: int = 20,
+    frame_dt: float = 0.1,
+    seed: int = 0,
+    gravity: float = 9.809,
+    still_frames: int = 2,
+    acc_amp: float = 1.0,
+    yaw_rate_amp: float = 0.4,
+):
+    """Discrete-exact trajectory with IMU measurements.
 
-    Returns dict with per-imu-sample times, accel (body frame, includes
-    gravity reaction), gyro (body frame), and ground-truth per-sample
-    (pos, vel, R). The body never rolls far so gravity stays observable.
+    Ground truth is DEFINED by the same first-order integration rule the
+    filter uses (pos += vel dt with the pre-update vel; vel += a dt;
+    R' = R Exp(gyro dt)), so IMU integration is exact by construction and
+    tests isolate the measurement-update behavior. The body is stationary for
+    `still_frames` frames (gravity/bias initialization window).
+
+    Returns per-imu-sample arrays; sample i's measurement drives the step
+    from state i to state i+1.
     """
     rng = np.random.default_rng(seed)
     n = n_frames * imu_per_frame + 1
     dt = frame_dt / imu_per_frame
     t = np.arange(n) * dt
-    # position: smooth curve
-    ax_amp = rng.uniform(0.5, 1.5, size=3)
+    t_still = still_frames * frame_dt
+    ramp = np.clip((t - t_still) / max(frame_dt, 1e-6), 0.0, 1.0)
+    env = ramp * ramp * (3 - 2 * ramp)  # smoothstep
+
     freq = rng.uniform(0.2, 0.5, size=3)
     phase = rng.uniform(0, 2 * np.pi, size=3)
-    pos = ax_amp * np.sin(2 * np.pi * freq * t[:, None] + phase)
-    vel = ax_amp * (2 * np.pi * freq) * np.cos(2 * np.pi * freq * t[:, None] + phase)
-    acc_w = -ax_amp * (2 * np.pi * freq) ** 2 * np.sin(2 * np.pi * freq * t[:, None] + phase)
-    # yaw oscillation only (keeps it simple and exactly integrable)
-    yaw_amp, yaw_freq = 0.3, 0.3
-    yaw = yaw_amp * np.sin(2 * np.pi * yaw_freq * t)
-    yaw_rate = yaw_amp * 2 * np.pi * yaw_freq * np.cos(2 * np.pi * yaw_freq * t)
-    cz, sz = np.cos(yaw), np.sin(yaw)
-    R = np.zeros((n, 3, 3))
-    R[:, 0, 0], R[:, 0, 1] = cz, -sz
-    R[:, 1, 0], R[:, 1, 1] = sz, cz
-    R[:, 2, 2] = 1.0
+    acc_w = (acc_amp * np.sin(2 * np.pi * freq * t[:, None] + phase)) * env[:, None]
+    yaw_rate = yaw_rate_amp * np.sin(2 * np.pi * 0.3 * t) * env
+
     grav_w = np.array([0.0, 0.0, -gravity])
-    # IMU: acc_body = R^T (acc_world - grav_w); gyro_body = R^T * omega_world (= [0,0,yaw_rate])
-    acc_b = np.einsum("nij,nj->ni", R.transpose(0, 2, 1), acc_w - grav_w)
-    gyro_b = np.einsum("nij,nj->ni", R.transpose(0, 2, 1), np.stack([np.zeros(n), np.zeros(n), yaw_rate], axis=1))
+    pos = np.zeros((n, 3))
+    vel = np.zeros((n, 3))
+    R = np.zeros((n, 3, 3))
+    R[0] = np.eye(3)
+    acc_b = np.zeros((n, 3), np.float32)
+    gyro_b = np.zeros((n, 3), np.float32)
+    for i in range(n - 1):
+        # measurement i (drives step i -> i+1), expressed in body frame i
+        acc_b[i] = R[i].T @ (acc_w[i] - grav_w)
+        gyro_b[i] = np.array([0.0, 0.0, yaw_rate[i]])
+        pos[i + 1] = pos[i] + vel[i] * dt
+        vel[i + 1] = vel[i] + acc_w[i] * dt
+        th = yaw_rate[i] * dt
+        dR = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        R[i + 1] = R[i] @ dR
+    acc_b[-1] = R[-1].T @ (acc_w[-1] - grav_w)
+    gyro_b[-1] = np.array([0.0, 0.0, yaw_rate[-1]])
     return {
         "t": t.astype(np.float64),
         "acc": acc_b.astype(np.float32),
