@@ -1,5 +1,5 @@
 """SLAM model families: LIO odometry, LIO-SAM pose-graph SLAM, localization."""
 
-from . import lio
+from . import lio, liosam
 
-__all__ = ["lio"]
+__all__ = ["lio", "liosam"]

@@ -113,7 +113,7 @@ def _obs_model(cfg: LIOConfig, grid, pts_body, body_norm, mask):
         pw = R_wl @ pts_body + t_wl[:, None]
 
         def search():
-            nbrs, d2, cnt = ops.knn(cfg.grid, grid, pw, k=cfg.num_match, max_range=cfg.knn_max_dist)
+            nbrs, d2, cnt, _ = ops.knn(cfg.grid, grid, pw, k=cfg.num_match, max_range=cfg.knn_max_dist)
             nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
             coef, ok = fit.plane_fit(nbrs, nmask, cfg.plane_threshold, cfg.min_match)
             sel = mask & ok & (cnt >= cfg.min_match)
@@ -229,7 +229,7 @@ def lio_step(cfg: LIOConfig, s: LIOState, frame: LIOFrame):
         R_wl = upd.x.rot @ upd.x.ext_R
         t_wl = upd.x.rot @ upd.x.ext_t + upd.x.pos
         pw = R_wl @ pts_d + t_wl[:, None]
-        nbrs, d2, cnt = ops.knn(cfg.grid, grid, pw, k=cfg.num_match, max_range=cfg.knn_max_dist)
+        nbrs, d2, cnt, _ = ops.knn(cfg.grid, grid, pw, k=cfg.num_match, max_range=cfg.knn_max_dist)
         grid = _map_incremental(cfg, grid, upd.x, pts_d, mask_d, nbrs, d2, cnt)
         n_eff = jnp.sum(mask_d)
         # pose-table seed for the next frame: last valid sample's entries

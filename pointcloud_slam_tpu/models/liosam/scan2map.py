@@ -1,0 +1,177 @@
+"""LOAM scan-to-map matching: corner/edge lines + surface planes.
+
+Behavioral parity target (math re-derived, batched):
+  reference `src/jueying_slam/src/mapOptmization.cpp`
+  - `cornerOptimization` (:1255-1347): 5-NN in the corner map, line fit via
+    covariance eigendecomposition (valid if l_max > 3 l_mid), point-to-line
+    residual/coefficients,
+  - `surfOptimization` (:1349-1419): 5-NN plane fit (A n = -1), validity by
+    residual threshold, point-to-plane residual,
+  - `LMOptimization` (:1442-1558): 6-DoF Gauss-Newton with the eigenvalue
+    degeneracy guard (eig < 100 -> project the update out of those
+    directions, `isDegenerate`),
+  - `scan2MapOptimization` (:1560-1590): iterate matching + GN.
+
+TPU design: both feature families become plane-style residual rows
+[pw x n, n] (for lines, n is the in-plane perpendicular direction to the
+fitted line) — one (6, N) Jacobian block and a psum-free H = J J^T.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ... import ops
+from ...geom import fit, se3
+from ...register import solver
+
+
+@dataclasses.dataclass(frozen=True)
+class Scan2MapConfig:
+    corner_grid: ops.GridConfig = dataclasses.field(
+        default_factory=lambda: ops.GridConfig(capacity=1 << 15, pts_per_voxel=8, resolution=0.4, nearby=7)
+    )
+    surf_grid: ops.GridConfig = dataclasses.field(
+        default_factory=lambda: ops.GridConfig(capacity=1 << 16, pts_per_voxel=8, resolution=0.8, nearby=7)
+    )
+    max_corr_dist: float = 1.0       # 5-NN gate (kd-tree radius 1 m in ref)
+    plane_threshold: float = 0.2
+    line_ratio: float = 3.0
+    degeneracy_eig: float = 100.0    # LMOptimization eigen threshold
+    search_every: int = 3
+    solver: solver.SolverConfig = dataclasses.field(
+        default_factory=lambda: solver.SolverConfig(max_iterations=30, degeneracy_threshold=100.0)
+    )
+
+
+class Scan2MapResult(NamedTuple):
+    pose: se3.Pose
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+    num_corner: jnp.ndarray
+    num_surf: jnp.ndarray
+    H: jnp.ndarray
+    degenerate: jnp.ndarray
+
+
+def _corner_rows(cfg, grid, pw, mask):
+    """Point-to-line correspondences -> plane-style rows (n, r)."""
+    nbrs, d2, cnt, _ = ops.knn(cfg.corner_grid, grid, pw, k=5, max_range=cfg.max_corr_dist)
+    nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
+    center, direction, line_ok = fit.line_fit(nbrs, nmask, cfg.line_ratio)
+    ok = mask & line_ok & (cnt >= 5)
+    # perpendicular from the line to the point: u = (p - c) - ((p - c).d) d
+    ex = pw[0] - center[0]
+    ey = pw[1] - center[1]
+    ez = pw[2] - center[2]
+    dot = ex * direction[0] + ey * direction[1] + ez * direction[2]
+    ux = ex - dot * direction[0]
+    uy = ey - dot * direction[1]
+    uz = ez - dot * direction[2]
+    rr = jnp.sqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-12))
+    nx = jnp.where(ok, ux / rr, 0.0)
+    ny = jnp.where(ok, uy / rr, 0.0)
+    nz = jnp.where(ok, uz / rr, 0.0)
+    r = jnp.where(ok, rr, 0.0)
+    # plane-style offset so the residual recomputes at fresh poses:
+    # r_new = n . pw_new + d with d = r_search - n . pw_search
+    d_off = r - (pw[0] * nx + pw[1] * ny + pw[2] * nz)
+    # robust LOAM weighting s = 1 - 0.9 |r| (mapOptmization.cpp:1330)
+    s = jnp.where(ok, jnp.clip(1.0 - 0.9 * jnp.abs(r), 0.0, 1.0), 0.0)
+    return nx, ny, nz, d_off, s, ok
+
+
+def _surf_rows(cfg, grid, pw, mask):
+    nbrs, d2, cnt, _ = ops.knn(cfg.surf_grid, grid, pw, k=5, max_range=cfg.max_corr_dist)
+    nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
+    coef, plane_ok = fit.plane_fit(nbrs, nmask, cfg.plane_threshold, 5)
+    ok = mask & plane_ok & (cnt >= 5)
+    nx = jnp.where(ok, coef[0], 0.0)
+    ny = jnp.where(ok, coef[1], 0.0)
+    nz = jnp.where(ok, coef[2], 0.0)
+    d_off = jnp.where(ok, coef[3], 0.0)
+    r = jnp.where(ok, pw[0] * nx + pw[1] * ny + pw[2] * nz + d_off, 0.0)
+    # robust weight s = 1 - 0.9 |r| / sqrt(|p|) (mapOptmization.cpp:1392)
+    pn = jnp.sqrt(jnp.sqrt(pw[0] ** 2 + pw[1] ** 2 + pw[2] ** 2) + 1e-9)
+    s = jnp.where(ok, jnp.clip(1.0 - 0.9 * jnp.abs(r) / pn, 0.0, 1.0), 0.0)
+    return nx, ny, nz, d_off, s, ok
+
+
+def _hb(pw, rows):
+    nx, ny, nz, d_off, s, ok = rows
+    r = s * (pw[0] * nx + pw[1] * ny + pw[2] * nz + d_off)
+    nx, ny, nz = nx * s, ny * s, nz * s
+    cx = pw[1] * nz - pw[2] * ny
+    cy = pw[2] * nx - pw[0] * nz
+    cz = pw[0] * ny - pw[1] * nx
+    J = jnp.stack([cx, cy, cz, nx, ny, nz], axis=0)
+    H = J @ J.T
+    b = J @ r
+    return H, b, jnp.sum(r * r), jnp.sum(ok)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def scan_to_map(
+    cfg: Scan2MapConfig,
+    corner_map: ops.VoxelHashMap,
+    surf_map: ops.VoxelHashMap,
+    corner_pts: jnp.ndarray,   # (3, Nc) sensor frame
+    corner_mask: jnp.ndarray,
+    surf_pts: jnp.ndarray,     # (3, Ns)
+    surf_mask: jnp.ndarray,
+    init_pose: Optional[se3.Pose] = None,
+) -> Scan2MapResult:
+    if init_pose is None:
+        init_pose = se3.identity(surf_pts.dtype)
+    scfg = cfg.solver
+    dtype = surf_pts.dtype
+    Nc, Ns = corner_pts.shape[1], surf_pts.shape[1]
+
+    def search(pose):
+        pc = pose.apply(corner_pts)
+        ps = pose.apply(surf_pts)
+        return _corner_rows(cfg, corner_map, pc, corner_mask), _surf_rows(cfg, surf_map, ps, surf_mask)
+
+    def body(carry, it):
+        pose, done, iters, cache, big = carry
+        do_search = ((it % cfg.search_every == 0) | big) & ~done
+        cache = jax.lax.cond(do_search, lambda: search(pose), lambda: cache)
+        crows, srows = cache
+        pc = pose.apply(corner_pts)
+        ps = pose.apply(surf_pts)
+        Hc, bc, ec, nc = _hb(pc, crows)
+        Hs, bs, es, ns = _hb(ps, srows)
+        H = Hc + Hs
+        b = bc + bs
+        d = solver._solve_step(H, b, jnp.zeros((), dtype), cfg.degeneracy_eig)
+        conv = solver._converged(d, scfg)
+        pose_new = se3.retract_left(pose, d)
+        pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
+        iters = iters + jnp.where(done, 0, 1)
+        done = done | conv
+        big = (jnp.max(jnp.abs(d[:3])) > 0.02) | (jnp.max(jnp.abs(d[3:])) > 0.05)
+        return (pose, done, iters, cache, big), None
+
+    zero_s = jnp.sum(init_pose.t) * 0
+    zc = jnp.sum(corner_pts) * 0
+    zs = jnp.sum(surf_pts) * 0
+    cache0 = (
+        tuple([jnp.zeros((Nc,), dtype) + zc] * 5 + [jnp.zeros((Nc,), bool) | (zc > 1)]),
+        tuple([jnp.zeros((Ns,), dtype) + zs] * 5 + [jnp.zeros((Ns,), bool) | (zs > 1)]),
+    )
+    init = (init_pose, zero_s > 1.0, zero_s.astype(jnp.int32), cache0, zero_s > 1.0)
+    (pose, done, iters, cache, _), _ = jax.lax.scan(body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32))
+
+    crows, srows = cache
+    pc = pose.apply(corner_pts)
+    ps = pose.apply(surf_pts)
+    Hc, bc, ec, nc = _hb(pc, crows)
+    Hs, bs, es, ns = _hb(ps, srows)
+    H = Hc + Hs
+    eigs = jnp.linalg.eigvalsh(H)
+    return Scan2MapResult(pose, done, iters, nc, ns, H, eigs[0] < cfg.degeneracy_eig)

@@ -1,9 +1,13 @@
 """Core data-structure ops: voxel-hash map, downsampling, masked reductions."""
 
+from . import gaussian_grid
 from .downsample import random_decimate, voxel_downsample
+from .gaussian_grid import GaussianVoxelMap
 from .voxel_grid import GridConfig, VoxelHashMap, create, insert, knn, lookup, num_voxels, point_to_voxel, stencil_offsets
 
 __all__ = [
+    "gaussian_grid",
+    "GaussianVoxelMap",
     "GridConfig",
     "VoxelHashMap",
     "create",

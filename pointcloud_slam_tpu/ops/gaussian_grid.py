@@ -1,0 +1,163 @@
+"""Gaussian voxel map: per-voxel mean/covariance/inverse-covariance statistics.
+
+Behavioral parity targets (math re-derived, SoA layout):
+  - reference `pointcloud_match/ndt_omp/include/pclomp/voxel_grid_covariance_omp.h`
+    (per-leaf mean/cov with minimum-point gating and eigenvalue inflation,
+    `applyFilter` _impl.hpp) — NDT target voxels,
+  - reference `fast_gicp/include/fast_gicp/gicp/fast_vgicp_voxel.hpp`
+    (GaussianVoxel append/finalize) and
+    `fast_gicp/src/fast_gicp/cuda/gaussian_voxelmap.cu` (the GPU voxel hash
+    with atomicCAS insertion — here: the same open-addressing claim rounds as
+    the point map) — VGICP target voxels,
+  - covariance regularization modes of
+    `fast_gicp/.../fast_gicp_impl.hpp:241-298` (PLANE) and NDT's
+    eigenvalue-inflation (`voxel_grid_covariance_omp_impl.hpp`).
+
+Accumulation is pure scatter-add (sum, outer-product sum, count per slot);
+finalize computes mean/cov/icov in closed form (no LAPACK) on the VPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geom import fit
+from .voxel_grid import GridConfig, _claim_slots, _fingerprint, _hash3, _probe_match_fp, point_to_voxel
+
+_CLAIM_ROUNDS = 4
+
+
+class GaussianVoxelMap(NamedTuple):
+    keys: jnp.ndarray      # int32 (3, C)
+    fp: jnp.ndarray        # uint32 (C,)
+    occupied: jnp.ndarray  # bool (C,)
+    sum: jnp.ndarray       # (3, C) point sums
+    sq: jnp.ndarray        # (6, C) outer-product sums [xx, xy, xz, yy, yz, zz]
+    count: jnp.ndarray     # (C,)
+    mean: jnp.ndarray      # (3, C) — valid after finalize
+    icov: jnp.ndarray      # (6, C) inverse covariance (symmetric) — after finalize
+    cov: jnp.ndarray       # (6, C) regularized covariance — after finalize
+    valid: jnp.ndarray     # bool (C,) enough points + well-conditioned
+
+
+def create(config: GridConfig, dtype=jnp.float32) -> GaussianVoxelMap:
+    C = config.capacity
+    return GaussianVoxelMap(
+        keys=jnp.zeros((3, C), jnp.int32),
+        fp=jnp.zeros((C,), jnp.uint32),
+        occupied=jnp.zeros((C,), bool),
+        sum=jnp.zeros((3, C), dtype),
+        sq=jnp.zeros((6, C), dtype),
+        count=jnp.zeros((C,), dtype),
+        mean=jnp.zeros((3, C), dtype),
+        icov=jnp.zeros((6, C), dtype),
+        cov=jnp.zeros((6, C), dtype),
+        valid=jnp.zeros((C,), bool),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def accumulate(config: GridConfig, g: GaussianVoxelMap, points: jnp.ndarray, mask: jnp.ndarray) -> GaussianVoxelMap:
+    """Scatter masked points (3, N) into the per-voxel first/second moments."""
+    C = config.capacity
+    coords = point_to_voxel(points, config.resolution)
+    cx, cy, cz = coords[0], coords[1], coords[2]
+    counter = jnp.ones((), jnp.int32)
+    keys, fp, occupied = g.keys, g.fp, g.occupied
+    stamp = jnp.zeros((C,), jnp.int32)
+    remaining = mask
+    slot = mask.astype(jnp.int32) * 0 + C
+    for _ in range(_CLAIM_ROUNDS):
+        round_slot, is_new = _claim_slots(config, keys, occupied, stamp, counter, cx, cy, cz, remaining)
+        claim_idx = jnp.where(remaining & is_new, round_slot, C)
+        keys = keys.at[0, claim_idx].set(cx, mode="drop")
+        keys = keys.at[1, claim_idx].set(cy, mode="drop")
+        keys = keys.at[2, claim_idx].set(cz, mode="drop")
+        fp = fp.at[claim_idx].set(_fingerprint(cx, cy, cz), mode="drop")
+        occupied = occupied.at[claim_idx].set(True, mode="drop")
+        sgot = jnp.minimum(round_slot, C - 1)
+        won = remaining & (round_slot < C) & (keys[0, sgot] == cx) & (keys[1, sgot] == cy) & (keys[2, sgot] == cz)
+        slot = jnp.where(won, round_slot, slot)
+        stamp = stamp.at[jnp.where(won, round_slot, C)].set(counter, mode="drop")
+        remaining = remaining & ~won
+
+    tgt = jnp.where(mask & (slot < C), slot, C)
+    x, y, z = points[0], points[1], points[2]
+    s = g.sum.at[0, tgt].add(x, mode="drop").at[1, tgt].add(y, mode="drop").at[2, tgt].add(z, mode="drop")
+    sq = g.sq
+    sq = sq.at[0, tgt].add(x * x, mode="drop")
+    sq = sq.at[1, tgt].add(x * y, mode="drop")
+    sq = sq.at[2, tgt].add(x * z, mode="drop")
+    sq = sq.at[3, tgt].add(y * y, mode="drop")
+    sq = sq.at[4, tgt].add(y * z, mode="drop")
+    sq = sq.at[5, tgt].add(z * z, mode="drop")
+    count = g.count.at[tgt].add(1.0, mode="drop")
+    return g._replace(keys=keys, fp=fp, occupied=occupied, sum=s, sq=sq, count=count)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mode", "min_points"))
+def finalize(config: GridConfig, g: GaussianVoxelMap, mode: str = "ndt", min_points: int = 6,
+             eig_mult: float = 0.01) -> GaussianVoxelMap:
+    """Compute mean / regularized covariance / inverse covariance per voxel.
+
+    mode="ndt": inflate small eigenvalues to eig_mult * lambda_max
+      (voxel_grid_covariance_omp_impl.hpp semantics, min_points gating).
+    mode="plane": VGICP/GICP PLANE regularization — eigenvalues replaced by
+      (1, 1, 1e-3) in the eigenbasis (fast_gicp_impl.hpp:241-298).
+    """
+    cnt = g.count
+    ok_n = cnt >= min_points
+    inv_n = 1.0 / jnp.maximum(cnt, 1.0)
+    mx, my, mz = g.sum[0] * inv_n, g.sum[1] * inv_n, g.sum[2] * inv_n
+    # cov = E[pp^T] - mu mu^T  (population covariance; the reference divides by
+    # (n-1) for NDT — match that for ndt mode)
+    denom = jnp.maximum(cnt - 1.0, 1.0) if mode == "ndt" else jnp.maximum(cnt, 1.0)
+    c00 = (g.sq[0] - g.sum[0] * mx) / denom
+    c01 = (g.sq[1] - g.sum[0] * my) / denom
+    c02 = (g.sq[2] - g.sum[0] * mz) / denom
+    c11 = (g.sq[3] - g.sum[1] * my) / denom
+    c12 = (g.sq[4] - g.sum[1] * mz) / denom
+    c22 = (g.sq[5] - g.sum[2] * mz) / denom
+
+    vals, vecs = fit.eigh3x3_soa(c00, c01, c02, c11, c12, c22)
+    lmin, lmid, lmax = vals[0], vals[1], vals[2]
+    well = lmax > 1e-9
+    if mode == "ndt":
+        floor = eig_mult * jnp.maximum(lmax, 1e-9)
+        l0 = jnp.maximum(lmin, floor)
+        l1 = jnp.maximum(lmid, floor)
+        l2 = jnp.maximum(lmax, 1e-9)
+    else:  # plane
+        scale = jnp.maximum(lmax, 1e-9)
+        l0 = 1e-3 * scale
+        l1 = 1.0 * scale
+        l2 = 1.0 * scale
+
+    # rebuild cov = V diag(l) V^T and icov = V diag(1/l) V^T from components
+    def rebuild(l0, l1, l2):
+        outs = []
+        comps = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        for (i, j) in comps:
+            outs.append(l0 * vecs[0, i] * vecs[0, j] + l1 * vecs[1, i] * vecs[1, j] + l2 * vecs[2, i] * vecs[2, j])
+        return jnp.stack(outs, axis=0)
+
+    cov = rebuild(l0, l1, l2)
+    icov = rebuild(1.0 / jnp.maximum(l0, 1e-12), 1.0 / jnp.maximum(l1, 1e-12), 1.0 / jnp.maximum(l2, 1e-12))
+    valid = g.occupied & ok_n & well
+    return g._replace(mean=jnp.stack([mx, my, mz]), cov=cov, icov=icov, valid=valid)
+
+
+def build(config: GridConfig, points: jnp.ndarray, mask: jnp.ndarray, mode: str = "ndt", min_points: int = 6) -> GaussianVoxelMap:
+    g = create(config, points.dtype)
+    g = accumulate(config, g, points, mask)
+    return finalize(config, g, mode=mode, min_points=min_points)
+
+
+def probe(config: GridConfig, g: GaussianVoxelMap, coords3: tuple) -> jnp.ndarray:
+    """Slot per query voxel coord (component arrays), -1 if absent."""
+    return _probe_match_fp(config, g.fp, coords3[0], coords3[1], coords3[2])

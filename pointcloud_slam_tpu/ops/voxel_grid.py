@@ -206,8 +206,8 @@ def _claim_slots(config: GridConfig, keys, occupied, stamp, counter, cx, cy, cz,
 _CLAIM_ROUNDS = 4
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jnp.ndarray) -> VoxelHashMap:
+@functools.partial(jax.jit, static_argnames=("config", "return_indices"))
+def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jnp.ndarray, return_indices: bool = False):
     """Insert masked points. points (3, N), mask (N,) bool. Returns the new map.
 
     Claiming runs a few rounds so same-batch hash collisions between different
@@ -268,15 +268,22 @@ def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jn
 
     adds = jnp.zeros((C,), jnp.int32).at[jnp.where(fits, slot, C)].add(1, mode="drop")
     npts = npts + adds
-    return VoxelHashMap(keys, fp, occupied, pts, npts, stamp, counter)
+    new_grid = VoxelHashMap(keys, fp, occupied, pts, npts, stamp, counter)
+    if return_indices:
+        # flat (block_row * C + slot) write index per point, -1 if dropped —
+        # lets callers scatter parallel per-point attribute arrays
+        return new_grid, jnp.where(fits, flat, -1)
+    return new_grid
 
 
 @functools.partial(jax.jit, static_argnames=("config", "k"))
 def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5, max_range: float = 5.0):
     """k nearest map points for each query over the stencil neighborhood.
 
-    queries (3, N) -> (neighbors (3, k, N), d2 (k, N), count (N,)).
-    Invalid neighbors have d2 == +inf; `count` is the number of valid ones.
+    queries (3, N) -> (neighbors (3, k, N), d2 (k, N), count (N,), idx (k, N)).
+    Invalid neighbors have d2 == +inf; `count` is the number of valid ones;
+    `idx` is the flat map index (block_row * capacity + slot) of each
+    neighbor, -1 if invalid — used to join per-point attribute arrays.
     The candidate loop (stencil x per-voxel block) is unrolled into pure
     vectorized compare/select chains — an insertion sort into k running-best
     registers, all on 128-lane vectors.
@@ -298,17 +305,20 @@ def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5
     # slower / 20x longer to compile on TPU.
     best_d = jnp.full((k, N), _INF, dtype) + zero[None, :]
     best_xyz = jnp.zeros((3, k, N), dtype) + zero[None, None, :]
+    best_i = jnp.full((k, N), -1, jnp.int32) + zero.astype(jnp.int32)[None, :]
 
-    def visit(cand, d2, best_d, best_xyz):
+    def visit(cand, d2, fi, best_d, best_xyz, best_i):
         # insertion sort into the k running-best registers (static unroll)
         for r in range(k):
             better = d2 < best_d[r]
-            bd, bxyz = best_d[r], best_xyz[:, r]
+            bd, bxyz, bi = best_d[r], best_xyz[:, r], best_i[r]
             best_d = best_d.at[r].set(jnp.where(better, d2, bd))
             best_xyz = best_xyz.at[:, r].set(jnp.where(better, cand, bxyz))
+            best_i = best_i.at[r].set(jnp.where(better, fi, bi))
             d2 = jnp.where(better, bd, d2)
             cand = jnp.where(better, bxyz, cand)
-        return best_d, best_xyz
+            fi = jnp.where(better, bi, fi)
+        return best_d, best_xyz, best_i
 
     # unroll both loops when the block is small (production configs); roll the
     # per-voxel block loop for large test configurations to bound compile time
@@ -323,20 +333,22 @@ def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5
                 px, py, pz = grid.pts[0, kk, safe], grid.pts[1, kk, safe], grid.pts[2, kk, safe]
                 d2 = (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
                 d2 = jnp.where((kk < cnt) & (d2 <= max_r2), d2, _INF)
-                best_d, best_xyz = visit(jnp.stack([px, py, pz]), d2, best_d, best_xyz)
+                best_d, best_xyz, best_i = visit(
+                    jnp.stack([px, py, pz]), d2, kk * C + safe, best_d, best_xyz, best_i
+                )
         else:
             def block_body(kk, carry):
-                best_d, best_xyz = carry
+                best_d, best_xyz, best_i = carry
                 fi = kk * C + safe
                 px, py, pz = pts_flat[0, fi], pts_flat[1, fi], pts_flat[2, fi]
                 d2 = (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
                 d2 = jnp.where((kk < cnt) & (d2 <= max_r2), d2, _INF)
-                return visit(jnp.stack([px, py, pz]), d2, best_d, best_xyz)
+                return visit(jnp.stack([px, py, pz]), d2, fi, best_d, best_xyz, best_i)
 
-            best_d, best_xyz = jax.lax.fori_loop(0, K, block_body, (best_d, best_xyz))
+            best_d, best_xyz, best_i = jax.lax.fori_loop(0, K, block_body, (best_d, best_xyz, best_i))
 
     count = jnp.sum(best_d < _INF, axis=0).astype(jnp.int32)
-    return best_xyz, best_d, count
+    return best_xyz, best_d, count, best_i
 
 
 def num_voxels(grid: VoxelHashMap) -> jnp.ndarray:

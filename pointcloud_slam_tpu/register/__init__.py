@@ -1,12 +1,25 @@
 """Registration: shared GN/LM SE(3) solver, point-to-plane ICP, NDT, (V)GICP."""
 
-from . import icp, solver
+from . import gicp, icp, ndt, solver, vgicp
 from .icp import ICPConfig, ICPResult, build_target_map, fitness_score, point_to_plane_icp
+from .ndt import NDTConfig, NDTResult
+from .vgicp import VGICPConfig, VGICPResult, source_covariances
+from .gicp import GICPConfig, GICPResult
 from .solver import SolveResult, SolverConfig, gauss_newton, levenberg_marquardt
 
 __all__ = [
     "icp",
+    "ndt",
+    "vgicp",
+    "gicp",
     "solver",
+    "NDTConfig",
+    "NDTResult",
+    "VGICPConfig",
+    "VGICPResult",
+    "GICPConfig",
+    "GICPResult",
+    "source_covariances",
     "ICPConfig",
     "ICPResult",
     "point_to_plane_icp",

@@ -63,7 +63,7 @@ def correspondences(
 
     Returns (coef (4, N) plane [n, d], valid (N,)).
     """
-    nbrs, d2, cnt = ops.knn(grid_cfg, grid, pts_world, k=cfg.num_neighbors, max_range=cfg.max_corr_dist)
+    nbrs, d2, cnt, _ = ops.knn(grid_cfg, grid, pts_world, k=cfg.num_neighbors, max_range=cfg.max_corr_dist)
     nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
     coef, plane_ok = fit.plane_fit(nbrs, nmask, threshold=cfg.plane_threshold, min_pts=cfg.min_neighbors)
     valid = mask & plane_ok & (cnt >= cfg.min_neighbors)
@@ -196,7 +196,7 @@ def fitness_score(
     """Mean squared NN distance of matched points (pcl::Registration::getFitnessScore
     semantics, used by the reference's loop-closure and localization gates,
     e.g. mapOptmization.cpp:693, localization.cpp:342-375)."""
-    _, d2, cnt = ops.knn(grid_cfg, grid, source_world, k=1, max_range=max_range)
+    _, d2, cnt, _idx = ops.knn(grid_cfg, grid, source_world, k=1, max_range=max_range)
     matched = (cnt > 0) & mask
     d = jnp.where(matched, d2[0, :], 0.0)
     n = jnp.maximum(jnp.sum(matched), 1)

@@ -1,0 +1,217 @@
+"""Point-to-distribution NDT registration against a Gaussian voxel map.
+
+Behavioral parity target (math re-derived, batched):
+  reference `pointcloud_match/ndt_omp/include/pclomp/ndt_omp.h` /
+  `ndt_omp_impl.hpp` — Magnusson's NDT with the exponential score
+  s = -d1 exp(-d2/2 q^T S^-1 q), gauss_d1/d2 from the outlier ratio,
+  DIRECT1/7/27 stencil correspondences (`getNeighborhoodAtPoint*`), and the
+  Hessian-eigenvalue export (`getMaxEigen`, ndt_omp.h:209-223) used by the
+  localization loss judge; and `fast_gicp/.../ndt_cuda.hpp` (NDTCuda) whose
+  P2D mode this mirrors on TPU.
+
+The More-Thuente line search of the reference is replaced by the shared
+Levenberg-Marquardt trust-region loop (same converged optima, jittable
+fixed-trip control flow). Gradients/Hessians use the Gauss-Newton
+approximation of the exponential score.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import ops
+from ..ops import gaussian_grid as gg
+from ..geom import se3
+from . import solver
+
+
+@dataclasses.dataclass(frozen=True)
+class NDTConfig:
+    resolution: float = 1.0
+    outlier_ratio: float = 0.55      # pclomp default
+    min_points_per_voxel: int = 6
+    nearby: int = 7                  # DIRECT1 / DIRECT7 / DIRECT27
+    search_every: int = 3
+    solver: solver.SolverConfig = dataclasses.field(
+        default_factory=lambda: solver.SolverConfig(max_iterations=35)
+    )
+
+    def gauss_coeffs(self):
+        """(d1, d2) from resolution + outlier ratio (ndt_omp_impl.hpp init)."""
+        c1 = 10.0 * (1.0 - self.outlier_ratio)
+        c2 = self.outlier_ratio / (self.resolution ** 3)
+        d3 = -math.log(c2)
+        d1 = -math.log(c1 + c2) - d3
+        d2 = -2.0 * math.log((-math.log(c1 * math.exp(-0.5) + c2) - d3) / d1)
+        return d1, d2
+
+
+class NDTResult(NamedTuple):
+    pose: se3.Pose
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+    score: jnp.ndarray
+    H: jnp.ndarray          # (6, 6) final Hessian (getFinalHessian / getMaxEigen)
+    max_eigen: jnp.ndarray  # largest Hessian eigenvalue (degeneracy judge)
+
+
+def build_target(cfg: NDTConfig, target: jnp.ndarray, mask: Optional[jnp.ndarray] = None, capacity: int = 1 << 16):
+    """Voxelize the target cloud into Gaussian statistics (VoxelGridCovariance)."""
+    if mask is None:
+        mask = jnp.ones(target.shape[1], bool)
+    grid_cfg = ops.GridConfig(capacity=capacity, resolution=cfg.resolution, nearby=cfg.nearby)
+    g = gg.build(grid_cfg, target, mask, mode="ndt", min_points=cfg.min_points_per_voxel)
+    return grid_cfg, g
+
+
+def _correspond(cfg: NDTConfig, grid_cfg, g: gg.GaussianVoxelMap, pw, mask):
+    """Per (point, stencil-voxel) Gaussians: means (3,S,N), icovs (6,S,N), valid (S,N)."""
+    offsets = ops.stencil_offsets(cfg.nearby)
+    coords = ops.point_to_voxel(pw, cfg.resolution)
+    means, icovs, valids = [], [], []
+    for (ox, oy, oz) in offsets.tolist():
+        slot = gg.probe(grid_cfg, g, (coords[0] + ox, coords[1] + oy, coords[2] + oz))
+        safe = jnp.maximum(slot, 0)
+        ok = (slot >= 0) & g.valid[safe] & mask
+        means.append(jnp.stack([g.mean[c, safe] for c in range(3)]))
+        icovs.append(jnp.stack([g.icov[c, safe] for c in range(6)]))
+        valids.append(ok)
+    return (
+        jnp.stack(means, axis=1),   # (3, S, N)
+        jnp.stack(icovs, axis=1),   # (6, S, N)
+        jnp.stack(valids, axis=0),  # (S, N)
+    )
+
+
+def _linearize_cached(d1, d2, means, icovs, valid, pw, src):
+    """GN linearization of the NDT exponential score at pose-transformed pw.
+
+    Per correspondence: q = pw - mean; e = q^T S^-1 q;
+    score contribution -d1 exp(-d2/2 e); gradient via weighted point-to-
+    distribution residual r = S^-1 q scaled by w = d1 d2 exp(-d2/2 e).
+    """
+    qx = pw[0][None, :] - means[0]
+    qy = pw[1][None, :] - means[1]
+    qz = pw[2][None, :] - means[2]
+    i00, i01, i02, i11, i12, i22 = (icovs[c] for c in range(6))
+    sx = i00 * qx + i01 * qy + i02 * qz  # S^-1 q
+    sy = i01 * qx + i11 * qy + i12 * qz
+    sz = i02 * qx + i12 * qy + i22 * qz
+    e = qx * sx + qy * sy + qz * sz
+    e = jnp.clip(e, 0.0, 50.0)
+    # d1 < 0: weight w = -d1 d2 exp(.) > 0 makes H PSD and b the true gradient
+    w = jnp.where(valid, -d1 * d2 * jnp.exp(-0.5 * d2 * e), 0.0)
+    score = jnp.sum(jnp.where(valid, -d1 * jnp.exp(-0.5 * d2 * e), 0.0))
+
+    # J rows for q wrt left tangent [omega, v]: dq = -hat(pw) omega + v
+    # grad = sum w J^T S^-1 q ; H ~= sum w J^T S^-1 J  (GN)
+    S, N = e.shape
+    px, py, pz = pw[0][None, :], pw[1][None, :], pw[2][None, :]
+
+    def rowdot(ax, ay, az, bx, by, bz):
+        return ax * bx + ay * by + az * bz
+
+    # columns of J (6 tangent dirs) as 3-vectors:
+    # omega_x: dq = (0, -pz, py)? careful: -hat(pw)omega => dq/domega = -hat(pw)
+    # -hat(pw) columns: col0 = (0, pz, -py)... hat(p) = [[0,-pz,py],[pz,0,-px],[-py,px,0]]
+    # -hat(p) = [[0,pz,-py],[-pz,0,px],[py,-px,0]]
+    cols = [
+        (jnp.zeros_like(px), -pz, py),   # d(-hat p w)/dwx column: (0, -pz, py)? see below
+        (pz, jnp.zeros_like(px), -px),
+        (-py, px, jnp.zeros_like(px)),
+        (jnp.ones_like(px), jnp.zeros_like(px), jnp.zeros_like(px)),
+        (jnp.zeros_like(px), jnp.ones_like(px), jnp.zeros_like(px)),
+        (jnp.zeros_like(px), jnp.zeros_like(px), jnp.ones_like(px)),
+    ]
+    # NOTE: dq/domega = -hat(pw): columns are cross(e_i, pw)? -hat(p) e1 = (0, -(-pz)?...)
+    # -hat(p) = [[0, pz, -py], [-pz, 0, px], [py, -px, 0]] -> col0 = (0, -pz, py)
+    cols[0] = (jnp.zeros_like(px), -pz, py)
+    cols[1] = (pz, jnp.zeros_like(px), -px)
+    cols[2] = (-py, px, jnp.zeros_like(px))
+
+    g6 = []
+    for (ax, ay, az) in cols:
+        g6.append(jnp.sum(w * rowdot(ax, ay, az, sx, sy, sz)))
+    b = jnp.stack(g6)
+
+    # H = sum w Jc_i^T S^-1 Jc_j  (21 unique entries)
+    sj = []
+    for (ax, ay, az) in cols:
+        sj.append(
+            (
+                i00 * ax + i01 * ay + i02 * az,
+                i01 * ax + i11 * ay + i12 * az,
+                i02 * ax + i12 * ay + i22 * az,
+            )
+        )
+    H = jnp.zeros((6, 6), pw.dtype)
+    for i in range(6):
+        for j in range(i, 6):
+            hij = jnp.sum(w * rowdot(cols[i][0], cols[i][1], cols[i][2], sj[j][0], sj[j][1], sj[j][2]))
+            H = H.at[i, j].set(hij)
+            H = H.at[j, i].set(hij)
+    return H, b, -score  # err = -score (we minimize)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_cfg", "cfg"))
+def align(
+    grid_cfg: ops.GridConfig,
+    target: gg.GaussianVoxelMap,
+    source: jnp.ndarray,
+    source_mask: Optional[jnp.ndarray] = None,
+    init_pose: Optional[se3.Pose] = None,
+    cfg: NDTConfig = NDTConfig(),
+) -> NDTResult:
+    """Align source (3, N) to the NDT target map."""
+    if source_mask is None:
+        source_mask = jnp.ones(source.shape[1], bool)
+    if init_pose is None:
+        init_pose = se3.identity(source.dtype)
+    d1, d2 = cfg.gauss_coeffs()
+    scfg = cfg.solver
+    dtype = source.dtype
+    S = ops.stencil_offsets(cfg.nearby).shape[0]
+    N = source.shape[1]
+
+    def search(pose):
+        pw = pose.apply(source)
+        return _correspond(cfg, grid_cfg, target, pw, source_mask)
+
+    def body(carry, it):
+        pose, done, iters, cache, big_step = carry
+        do_search = ((it % cfg.search_every == 0) | big_step) & ~done
+        cache = jax.lax.cond(do_search, lambda: search(pose), lambda: cache)
+        means, icovs, valid = cache
+        pw = pose.apply(source)
+        H, b, err = _linearize_cached(d1, d2, means, icovs, valid, pw, source)
+        lam = 1e-6 * jnp.max(jnp.abs(jnp.diag(H)))
+        d = solver._solve_step(H, b, lam, scfg.degeneracy_threshold)
+        conv = solver._converged(d, scfg)
+        pose_new = se3.retract_left(pose, d)
+        pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
+        iters = iters + jnp.where(done, 0, 1)
+        done = done | conv
+        big_step = (jnp.max(jnp.abs(d[:3])) > 0.02) | (jnp.max(jnp.abs(d[3:])) > 0.05)
+        return (pose, done, iters, cache, big_step), err
+
+    zero_s = jnp.sum(init_pose.t) * 0
+    zero_n = jnp.sum(source) * 0
+    cache0 = (
+        jnp.zeros((3, S, N), dtype) + zero_n,
+        jnp.zeros((6, S, N), dtype) + zero_n,
+        jnp.zeros((S, N), bool) | (zero_n > 1.0),
+    )
+    init = (init_pose, zero_s > 1.0, zero_s.astype(jnp.int32), cache0, zero_s > 1.0)
+    (pose, done, iters, cache, _), errs = jax.lax.scan(body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32))
+
+    means, icovs, valid = cache
+    pw = pose.apply(source)
+    H, b, err = _linearize_cached(d1, d2, means, icovs, valid, pw, source)
+    eigvals = jnp.linalg.eigvalsh(H)
+    return NDTResult(pose, done, iters, -err, H, eigvals[-1])

@@ -1,0 +1,204 @@
+"""Voxelized GICP (VGICP) — distribution-to-distribution-ish registration.
+
+Behavioral parity target (math re-derived, batched):
+  reference `fast_gicp/include/fast_gicp/gicp/fast_vgicp.hpp` +
+  `impl/fast_vgicp_impl.hpp` and the CUDA core
+  (`src/fast_gicp/cuda/fast_vgicp_cuda.cu`, `compute_derivatives.cu`):
+  - target = Gaussian voxel map (additive accumulation),
+  - one correspondence per (source point, stencil offset) hit
+    (fast_vgicp_impl.hpp:82-99, DIRECT1/7/27),
+  - per-correspondence mahalanobis M = (C_voxel + T C_src T^T)^-1 and
+    weight w = sqrt(voxel num_points) applied to error/H/b
+    (fast_vgicp_impl.hpp:149-163),
+  - source covariances from k-NN with PLANE regularization
+    (fast_gicp_impl.hpp:241-298).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import ops
+from ..ops import gaussian_grid as gg
+from ..geom import fit, se3
+from . import solver
+
+
+@dataclasses.dataclass(frozen=True)
+class VGICPConfig:
+    resolution: float = 1.0
+    k_correspondences: int = 8       # source covariance k-NN (ref default 20)
+    min_points_per_voxel: int = 4
+    nearby: int = 7                  # voxel_search_method DIRECT1/7/27
+    search_every: int = 3
+    solver: solver.SolverConfig = dataclasses.field(
+        default_factory=lambda: solver.SolverConfig(max_iterations=35)
+    )
+
+
+class VGICPResult(NamedTuple):
+    pose: se3.Pose
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+    error: jnp.ndarray
+    H: jnp.ndarray
+
+
+def source_covariances(points: jnp.ndarray, mask: jnp.ndarray, k: int = 8, resolution: float = 1.0):
+    """Per-point PLANE-regularized covariances from k-NN within the cloud
+    (fast_gicp calculate_covariances). Returns (6, N) [xx,xy,xz,yy,yz,zz]."""
+    cfg = ops.GridConfig(
+        capacity=max(1 << 14, 1 << (int(points.shape[1]).bit_length())),
+        pts_per_voxel=8,
+        resolution=resolution,
+        nearby=7,
+    )
+    grid = ops.insert(cfg, ops.create(cfg, points.dtype), points, mask)
+    nbrs, d2, cnt, _ = ops.knn(cfg, grid, points, k=k, max_range=2.0 * resolution)
+    nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
+    m = nmask.astype(points.dtype)
+    n = jnp.maximum(jnp.sum(m, axis=0), 1.0)
+    mx = jnp.sum(nbrs[0] * m, axis=0) / n
+    my = jnp.sum(nbrs[1] * m, axis=0) / n
+    mz = jnp.sum(nbrs[2] * m, axis=0) / n
+    dx = (nbrs[0] - mx[None]) * m
+    dy = (nbrs[1] - my[None]) * m
+    dz = (nbrs[2] - mz[None]) * m
+    c00 = jnp.sum(dx * dx, axis=0) / n
+    c01 = jnp.sum(dx * dy, axis=0) / n
+    c02 = jnp.sum(dx * dz, axis=0) / n
+    c11 = jnp.sum(dy * dy, axis=0) / n
+    c12 = jnp.sum(dy * dz, axis=0) / n
+    c22 = jnp.sum(dz * dz, axis=0) / n
+    vals, vecs = fit.eigh3x3_soa(c00, c01, c02, c11, c12, c22)
+    scale = jnp.maximum(vals[2], 1e-9)
+    l = (1e-3 * scale, scale, scale)  # PLANE: diag(1, 1, 1e-3) * scale
+    comps = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    out = [l[0] * vecs[0, i] * vecs[0, j] + l[1] * vecs[1, i] * vecs[1, j] + l[2] * vecs[2, i] * vecs[2, j] for (i, j) in comps]
+    cov = jnp.stack(out, axis=0)
+    ok = cnt >= 3
+    # degenerate points fall back to isotropic small covariance
+    iso = jnp.stack([jnp.ones_like(c00), jnp.zeros_like(c00), jnp.zeros_like(c00), jnp.ones_like(c00), jnp.zeros_like(c00), jnp.ones_like(c00)], axis=0) * 1e-2
+    return jnp.where(ok[None, :], cov, iso)
+
+
+def build_target(cfg: VGICPConfig, target: jnp.ndarray, mask: Optional[jnp.ndarray] = None, capacity: int = 1 << 16):
+    if mask is None:
+        mask = jnp.ones(target.shape[1], bool)
+    grid_cfg = ops.GridConfig(capacity=capacity, resolution=cfg.resolution, nearby=cfg.nearby)
+    g = gg.build(grid_cfg, target, mask, mode="plane", min_points=cfg.min_points_per_voxel)
+    return grid_cfg, g
+
+
+def _sym_inv3(a00, a01, a02, a11, a12, a22):
+    """Closed-form inverse of symmetric 3x3 component arrays."""
+    i00 = a11 * a22 - a12 * a12
+    i01 = a02 * a12 - a01 * a22
+    i02 = a01 * a12 - a02 * a11
+    i11 = a00 * a22 - a02 * a02
+    i12 = a01 * a02 - a00 * a12
+    i22 = a00 * a11 - a01 * a01
+    det = a00 * i00 + a01 * i01 + a02 * i02
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    return i00 * inv, i01 * inv, i02 * inv, i11 * inv, i12 * inv, i22 * inv
+
+
+def _linearize(cfg, grid_cfg, g, src, src_cov, mask, pose):
+    """One GN linearization: correspondences + mahalanobis + weighted H/b."""
+    pw = pose.apply(src)
+    offsets = ops.stencil_offsets(cfg.nearby)
+    coords = ops.point_to_voxel(pw, cfg.resolution)
+    R = pose.R
+    # T C_src T^T (6 components per point)
+    s00, s01, s02, s11, s12, s22 = (src_cov[c] for c in range(6))
+    # RC = R @ C
+    rc = [[R[i, 0] * [s00, s01, s02][j] + R[i, 1] * [s01, s11, s12][j] + R[i, 2] * [s02, s12, s22][j] for j in range(3)] for i in range(3)]
+    t00 = rc[0][0] * R[0, 0] + rc[0][1] * R[0, 1] + rc[0][2] * R[0, 2]
+    t01 = rc[0][0] * R[1, 0] + rc[0][1] * R[1, 1] + rc[0][2] * R[1, 2]
+    t02 = rc[0][0] * R[2, 0] + rc[0][1] * R[2, 1] + rc[0][2] * R[2, 2]
+    t11 = rc[1][0] * R[1, 0] + rc[1][1] * R[1, 1] + rc[1][2] * R[1, 2]
+    t12 = rc[1][0] * R[2, 0] + rc[1][1] * R[2, 1] + rc[1][2] * R[2, 2]
+    t22 = rc[2][0] * R[2, 0] + rc[2][1] * R[2, 1] + rc[2][2] * R[2, 2]
+
+    H = jnp.zeros((6, 6), src.dtype)
+    b = jnp.zeros((6,), src.dtype)
+    err = jnp.zeros((), src.dtype)
+    px, py, pz = pw[0], pw[1], pw[2]
+    for (ox, oy, oz) in offsets.tolist():
+        slot = gg.probe(grid_cfg, g, (coords[0] + ox, coords[1] + oy, coords[2] + oz))
+        safe = jnp.maximum(slot, 0)
+        ok = (slot >= 0) & g.valid[safe] & mask
+        w = jnp.where(ok, jnp.sqrt(jnp.maximum(g.count[safe], 1.0)), 0.0)
+        qx = px - g.mean[0, safe]
+        qy = py - g.mean[1, safe]
+        qz = pz - g.mean[2, safe]
+        # M = (C_voxel + T C_src T^T)^-1
+        m00, m01, m02, m11, m12, m22 = _sym_inv3(
+            g.cov[0, safe] + t00, g.cov[1, safe] + t01, g.cov[2, safe] + t02,
+            g.cov[3, safe] + t11, g.cov[4, safe] + t12, g.cov[5, safe] + t22,
+        )
+        rx = m00 * qx + m01 * qy + m02 * qz  # M q
+        ry = m01 * qx + m11 * qy + m12 * qz
+        rz = m02 * qx + m12 * qy + m22 * qz
+        err = err + jnp.sum(w * (qx * rx + qy * ry + qz * rz))
+        # J columns (dq/d[omega, v]): -hat(pw) | I
+        cols = [
+            (qx * 0, -pz, py),
+            (pz, qx * 0, -px),
+            (-py, px, qx * 0),
+            (qx * 0 + 1.0, qx * 0, qx * 0),
+            (qx * 0, qx * 0 + 1.0, qx * 0),
+            (qx * 0, qx * 0, qx * 0 + 1.0),
+        ]
+        mj = []
+        for (ax, ay, az) in cols:
+            mj.append((m00 * ax + m01 * ay + m02 * az, m01 * ax + m11 * ay + m12 * az, m02 * ax + m12 * ay + m22 * az))
+        for i in range(6):
+            ai = cols[i]
+            b = b.at[i].add(jnp.sum(w * (ai[0] * rx + ai[1] * ry + ai[2] * rz)))
+            for j in range(i, 6):
+                hij = jnp.sum(w * (ai[0] * mj[j][0] + ai[1] * mj[j][1] + ai[2] * mj[j][2]))
+                H = H.at[i, j].add(hij)
+                H = H.at[j, i].add(jnp.where(i == j, 0.0, hij))
+    return H, b, err
+
+
+@functools.partial(jax.jit, static_argnames=("grid_cfg", "cfg"))
+def align(
+    grid_cfg: ops.GridConfig,
+    target: gg.GaussianVoxelMap,
+    source: jnp.ndarray,
+    source_cov: jnp.ndarray,
+    source_mask: Optional[jnp.ndarray] = None,
+    init_pose: Optional[se3.Pose] = None,
+    cfg: VGICPConfig = VGICPConfig(),
+) -> VGICPResult:
+    """Align source (3, N) with per-point covariances (6, N) to the voxel map."""
+    if source_mask is None:
+        source_mask = jnp.ones(source.shape[1], bool)
+    if init_pose is None:
+        init_pose = se3.identity(source.dtype)
+    scfg = cfg.solver
+    dtype = source.dtype
+
+    def body(carry, it):
+        pose, done, iters, Hl = carry
+        H, b, err = _linearize(cfg, grid_cfg, target, source, source_cov, source_mask, pose)
+        lam = 1e-6 * jnp.max(jnp.abs(jnp.diag(H)))
+        d = solver._solve_step(H, b, lam, scfg.degeneracy_threshold)
+        conv = solver._converged(d, scfg)
+        pose_new = se3.retract_left(pose, d)
+        pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
+        iters = iters + jnp.where(done, 0, 1)
+        done = done | conv
+        return (pose, done, iters, H), err
+
+    zero_s = jnp.sum(init_pose.t) * 0
+    init = (init_pose, zero_s > 1.0, zero_s.astype(jnp.int32), jnp.zeros((6, 6), dtype) + zero_s)
+    (pose, done, iters, H), errs = jax.lax.scan(body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32))
+    return VGICPResult(pose, done, iters, errs[-1], H)

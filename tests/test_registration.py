@@ -1,0 +1,126 @@
+"""NDT / VGICP / GICP recovery tests (forward/backward invariances like the
+reference's gicp_test.cpp FORWARD/BACKWARD parameterized suite)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pointcloud_slam_tpu import ops, register
+from pointcloud_slam_tpu.geom import se3, so3
+from pointcloud_slam_tpu.io import synthetic
+from pointcloud_slam_tpu.ops import gaussian_grid as gg
+
+
+def soa(x):
+    return jnp.asarray(np.ascontiguousarray(np.asarray(x).T))
+
+
+def make_pair(seed=0, n=4000, rot=0.04, trans=0.3):
+    world = synthetic.make_room_cloud(n, seed=seed)
+    R, t = synthetic.random_pose(seed=seed + 1, rot_scale=rot, trans_scale=trans)
+    src = ((world - t) @ R).astype(np.float32)
+    return world, src, R, t
+
+
+def pose_errors(pose, R, t):
+    rot_err = np.degrees(np.linalg.norm(np.asarray(so3.log(jnp.asarray(R.T) @ pose.R))))
+    trans_err = np.linalg.norm(np.asarray(pose.t) - t)
+    return rot_err, trans_err
+
+
+class TestGaussianVoxelMap:
+    def test_stats_match_numpy(self, rng):
+        pts = rng.uniform(-4, 4, size=(2000, 3)).astype(np.float32)
+        cfg = ops.GridConfig(capacity=1 << 12, resolution=1.0, nearby=7)
+        g = gg.build(cfg, soa(pts), jnp.ones(len(pts), bool), mode="ndt", min_points=6)
+        # pick a well-populated voxel and compare mean/cov
+        vox = np.floor(pts / 1.0).astype(np.int32)
+        uniq, counts = np.unique(vox, axis=0, return_counts=True)
+        target = uniq[np.argmax(counts)]
+        members = pts[np.all(vox == target, axis=1)]
+        slot = int(gg.probe(cfg, g, tuple(jnp.asarray([int(v)], jnp.int32) for v in target))[0])
+        assert slot >= 0 and bool(g.valid[slot])
+        np.testing.assert_allclose(np.asarray(g.mean[:, slot]), members.mean(axis=0), atol=1e-4)
+        cov_np = np.cov(members.T, bias=False)
+        got = np.asarray(g.cov[:, slot])
+        got_full = np.array([[got[0], got[1], got[2]], [got[1], got[3], got[4]], [got[2], got[4], got[5]]])
+        # eigenvalue inflation only raises tiny eigenvalues; compare loosely
+        np.testing.assert_allclose(got_full, cov_np, atol=np.abs(cov_np).max() * 0.2 + 1e-3)
+
+    def test_min_points_gating(self, rng):
+        pts = rng.uniform(0, 0.9, size=(3, 3)).astype(np.float32)  # 3 pts, one voxel
+        cfg = ops.GridConfig(capacity=1 << 8, resolution=1.0)
+        g = gg.build(cfg, soa(pts), jnp.ones(3, bool), mode="ndt", min_points=6)
+        assert int(jnp.sum(g.valid)) == 0
+
+
+class TestNDT:
+    def test_forward_recovery(self):
+        world, src, R, t = make_pair(seed=0)
+        cfg = register.NDTConfig(resolution=1.0)
+        grid_cfg, target = register.ndt.build_target(cfg, soa(world))
+        res = register.ndt.align(grid_cfg, target, soa(src), cfg=cfg)
+        rot_err, trans_err = pose_errors(res.pose, R, t)
+        assert rot_err < 1.0, f"rot {rot_err}"
+        assert trans_err < 0.1, f"trans {trans_err}"
+
+    def test_backward_recovery(self):
+        world, src, R, t = make_pair(seed=7)
+        cfg = register.NDTConfig(resolution=1.0)
+        grid_cfg, target = register.ndt.build_target(cfg, soa(src))
+        res = register.ndt.align(grid_cfg, target, soa(world), cfg=cfg)
+        R_inv, t_inv = R.T, -R.T @ t
+        rot_err, trans_err = pose_errors(res.pose, R_inv, t_inv)
+        assert rot_err < 1.0
+        assert trans_err < 0.1
+
+    def test_max_eigen_export(self):
+        world, src, _, _ = make_pair(seed=1)
+        cfg = register.NDTConfig(resolution=1.0)
+        grid_cfg, target = register.ndt.build_target(cfg, soa(world))
+        res = register.ndt.align(grid_cfg, target, soa(src), cfg=cfg)
+        assert float(res.max_eigen) > 0
+
+
+class TestVGICP:
+    def test_forward_recovery(self):
+        world, src, R, t = make_pair(seed=2)
+        cfg = register.VGICPConfig(resolution=1.0)
+        grid_cfg, target = register.vgicp.build_target(cfg, soa(world))
+        src_cov = register.source_covariances(soa(src), jnp.ones(src.shape[0], bool), k=cfg.k_correspondences, resolution=cfg.resolution)
+        res = register.vgicp.align(grid_cfg, target, soa(src), src_cov, cfg=cfg)
+        rot_err, trans_err = pose_errors(res.pose, R, t)
+        assert rot_err < 1.0, f"rot {rot_err}"
+        assert trans_err < 0.1, f"trans {trans_err}"
+
+    def test_weight_uses_voxel_count(self):
+        # smoke: error decreases from init
+        world, src, R, t = make_pair(seed=3)
+        cfg = register.VGICPConfig(resolution=1.0, solver=register.SolverConfig(max_iterations=2))
+        grid_cfg, target = register.vgicp.build_target(cfg, soa(world))
+        src_cov = register.source_covariances(soa(src), jnp.ones(src.shape[0], bool))
+        res = register.vgicp.align(grid_cfg, target, soa(src), src_cov, cfg=cfg)
+        assert np.isfinite(float(res.error))
+
+
+class TestGICP:
+    def test_forward_recovery(self):
+        world, src, R, t = make_pair(seed=4, n=3000)
+        cfg = register.GICPConfig()
+        grid_cfg, grid, att = register.gicp.build_target(cfg, soa(world))
+        src_cov = register.source_covariances(soa(src), jnp.ones(src.shape[0], bool), k=cfg.k_correspondences, resolution=cfg.cov_resolution)
+        res = register.gicp.align(grid_cfg, grid, att, soa(src), src_cov, cfg=cfg)
+        rot_err, trans_err = pose_errors(res.pose, R, t)
+        assert rot_err < 1.0, f"rot {rot_err}"
+        assert trans_err < 0.1, f"trans {trans_err}"
+
+    def test_swap_source_target(self):
+        world, src, R, t = make_pair(seed=5, n=3000)
+        cfg = register.GICPConfig()
+        grid_cfg, grid, att = register.gicp.build_target(cfg, soa(src))
+        w_cov = register.source_covariances(soa(world), jnp.ones(world.shape[0], bool))
+        res = register.gicp.align(grid_cfg, grid, att, soa(world), w_cov, cfg=cfg)
+        R_inv, t_inv = R.T, -R.T @ t
+        rot_err, trans_err = pose_errors(res.pose, R_inv, t_inv)
+        assert rot_err < 1.0
+        assert trans_err < 0.1

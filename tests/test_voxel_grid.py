@@ -72,7 +72,7 @@ class TestKNN:
         cfg = ops.GridConfig(capacity=1 << 13, pts_per_voxel=32, resolution=1.0, nearby=27)
         grid = ops.create(cfg)
         grid = ops.insert(cfg, grid, soa(db), jnp.ones(len(db), bool))
-        nbrs, d2, cnt = ops.knn(cfg, grid, soa(q), k=5, max_range=5.0)
+        nbrs, d2, cnt, _ = ops.knn(cfg, grid, soa(q), k=5, max_range=5.0)
         d2 = np.sort(np.asarray(d2).T, axis=1)
         # brute force restricted to the 27-voxel stencil neighborhood of each query
         res = cfg.resolution
@@ -95,12 +95,12 @@ class TestKNN:
         cfg = ops.GridConfig(capacity=1 << 10, pts_per_voxel=4, resolution=8.0, nearby=7)
         grid = ops.create(cfg)
         grid = ops.insert(cfg, grid, soa(db), jnp.ones(2, bool))
-        _, d2, cnt = ops.knn(cfg, grid, soa(np.array([[1.0, 0, 0]], np.float32)), k=5, max_range=5.0)
+        _, d2, cnt, _i = ops.knn(cfg, grid, soa(np.array([[1.0, 0, 0]], np.float32)), k=5, max_range=5.0)
         assert int(cnt[0]) == 1  # 10m point excluded by range even though in stencil
 
     def test_knn_empty_map(self):
         grid = ops.create(CFG)
-        _, d2, cnt = ops.knn(CFG, grid, jnp.zeros((3, 4), jnp.float32), k=5)
+        _, d2, cnt, _i = ops.knn(CFG, grid, jnp.zeros((3, 4), jnp.float32), k=5)
         assert np.all(np.asarray(cnt) == 0)
 
 
