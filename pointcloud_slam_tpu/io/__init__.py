@@ -1,5 +1,5 @@
 """Host-side IO: synthetic data, PCD files, sensor feeds."""
 
-from . import synthetic
+from . import feed, pcd, synthetic
 
-__all__ = ["synthetic"]
+__all__ = ["feed", "pcd", "synthetic"]

@@ -1,5 +1,5 @@
 """SLAM model families: LIO odometry, LIO-SAM pose-graph SLAM, localization."""
 
-from . import lio, liosam
+from . import lio, liosam, localization
 
-__all__ = ["lio", "liosam"]
+__all__ = ["lio", "liosam", "localization"]

@@ -1,0 +1,94 @@
+"""Prior-map localization: scan-to-tile-map matching with loss detection.
+
+Behavioral parity target:
+  reference `src/jueying_slam/src/localization.cpp` / `new_localization.cpp`
+  - dynamic area-tile map loading around the pose (`dynamic_load_map_run`
+    :281-315 + dynamic_map.h) — host side: io.pcd.tiles_for_position feeds
+    re-built device maps,
+  - matching method switch "loam" | "ndt" (`Matching_method`,
+    config/rslidar.yaml) — LOAM scan-to-map (scan2map) or NDT (register.ndt),
+  - fitness gating + relocalization + lose flag (`laserCloudInfoHandler`
+    :424-476, `my_getFitnessScore` :342-375),
+  - the status channel: fitness scores exported like odometry covariance[0:2]
+    (localization.cpp:1243-1244) feeding the external loss judge and the IMU
+    preintegration reset (imuPreintegration.cpp:399-406).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ... import ops, register
+from ...geom import se3
+from ..liosam import scan2map as s2m
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalizationConfig:
+    method: str = "loam"             # "loam" | "ndt" (Matching_method)
+    fitness_thresh: float = 0.15     # Corner_fitness gate (localization.cpp:424)
+    fitness_range: float = 1.0
+    ndt: register.NDTConfig = dataclasses.field(default_factory=lambda: register.NDTConfig(resolution=1.0))
+    scan2map: s2m.Scan2MapConfig = dataclasses.field(default_factory=s2m.Scan2MapConfig)
+
+
+class LocalizationResult(NamedTuple):
+    pose: se3.Pose
+    fitness: jnp.ndarray      # mean-squared NN distance (status channel)
+    matched_frac: jnp.ndarray
+    lost: jnp.ndarray         # fitness gate failed -> relocalize needed
+    degenerate: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "grid_cfg"))
+def localize_loam(
+    cfg: LocalizationConfig,
+    grid_cfg,  # unused placeholder for API symmetry
+    corner_map: ops.VoxelHashMap,
+    surf_map: ops.VoxelHashMap,
+    corner_pts: jnp.ndarray,
+    corner_mask: jnp.ndarray,
+    surf_pts: jnp.ndarray,
+    surf_mask: jnp.ndarray,
+    init_pose: se3.Pose,
+) -> LocalizationResult:
+    res = s2m.scan_to_map(
+        cfg.scan2map, corner_map, surf_map, corner_pts, corner_mask, surf_pts, surf_mask, init_pose
+    )
+    pw = res.pose.apply(surf_pts)
+    fitness, n_matched = register.fitness_score(
+        cfg.scan2map.surf_grid, surf_map, pw, surf_mask, max_range=cfg.fitness_range
+    )
+    frac = n_matched / jnp.maximum(jnp.sum(surf_mask), 1)
+    lost = (fitness > cfg.fitness_thresh) | (frac < 0.3)
+    return LocalizationResult(res.pose, fitness, frac, lost, res.degenerate)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ndt_grid_cfg", "point_grid_cfg"))
+def localize_ndt(
+    cfg: LocalizationConfig,
+    ndt_grid_cfg: ops.GridConfig,
+    ndt_map,  # GaussianVoxelMap
+    point_grid_cfg: ops.GridConfig,
+    point_map: ops.VoxelHashMap,   # raw-point map for the fitness score
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    init_pose: se3.Pose,
+) -> LocalizationResult:
+    res = register.ndt.align(ndt_grid_cfg, ndt_map, pts, mask, init_pose, cfg=cfg.ndt)
+    pw = res.pose.apply(pts)
+    fitness, n_matched = register.fitness_score(point_grid_cfg, point_map, pw, mask, max_range=cfg.fitness_range)
+    frac = n_matched / jnp.maximum(jnp.sum(mask), 1)
+    lost = (fitness > cfg.fitness_thresh) | (frac < 0.3)
+    return LocalizationResult(res.pose, fitness, frac, lost, res.max_eigen < 10.0)
+
+
+def relocalize(result: LocalizationResult, fallback_pose: se3.Pose) -> se3.Pose:
+    """On loss, restart matching from the externally provided initial pose
+    (localization.cpp relocalization from initialPose)."""
+    return jax.tree.map(lambda a, b: jnp.where(result.lost, b, a), result.pose, fallback_pose)
