@@ -72,7 +72,9 @@ def accumulate(config: GridConfig, g: GaussianVoxelMap, points: jnp.ndarray, mas
     stamp = jnp.zeros((C,), jnp.int32)
     remaining = mask
     slot = mask.astype(jnp.int32) * 0 + C
-    for _ in range(_CLAIM_ROUNDS):
+
+    def claim_round(_, carry):
+        keys, fp, occupied, stamp, remaining, slot = carry
         round_slot, is_new = _claim_slots(config, keys, occupied, stamp, counter, cx, cy, cz, remaining)
         claim_idx = jnp.where(remaining & is_new, round_slot, C)
         keys = keys.at[0, claim_idx].set(cx, mode="drop")
@@ -85,6 +87,11 @@ def accumulate(config: GridConfig, g: GaussianVoxelMap, points: jnp.ndarray, mas
         slot = jnp.where(won, round_slot, slot)
         stamp = stamp.at[jnp.where(won, round_slot, C)].set(counter, mode="drop")
         remaining = remaining & ~won
+        return keys, fp, occupied, stamp, remaining, slot
+
+    keys, fp, occupied, stamp, remaining, slot = jax.lax.fori_loop(
+        0, _CLAIM_ROUNDS, claim_round, (keys, fp, occupied, stamp, remaining, slot)
+    )
 
     tgt = jnp.where(mask & (slot < C), slot, C)
     x, y, z = points[0], points[1], points[2]

@@ -224,7 +224,12 @@ def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jn
     keys, fp, occupied, npts, stamp = grid.keys, grid.fp, grid.occupied, grid.npts, grid.stamp
     remaining = mask
     slot = mask.astype(jnp.int32) * 0 + C
-    for _ in range(_CLAIM_ROUNDS):
+
+    # rolled claim rounds (fori): one probe-loop body in the HLO instead of
+    # four — insert runs once per frame so the loop carry costs nothing, but
+    # the graph size matters for whole-pipeline compile times
+    def claim_round(_, carry):
+        keys, fp, occupied, npts, stamp, remaining, slot = carry
         round_slot, is_new = _claim_slots(config, keys, occupied, stamp, counter, cx, cy, cz, remaining)
         claim_idx = jnp.where(remaining & is_new, round_slot, C)
         keys = keys.at[0, claim_idx].set(cx, mode="drop")
@@ -244,6 +249,11 @@ def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jn
         slot = jnp.where(won, round_slot, slot)
         stamp = stamp.at[jnp.where(won, round_slot, C)].set(counter, mode="drop")
         remaining = remaining & ~won
+        return keys, fp, occupied, npts, stamp, remaining, slot
+
+    keys, fp, occupied, npts, stamp, remaining, slot = jax.lax.fori_loop(
+        0, _CLAIM_ROUNDS, claim_round, (keys, fp, occupied, npts, stamp, remaining, slot)
+    )
 
     ok = mask & (slot < C)
 
