@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Offline LIO mapping replay — the reference's `run_mapping_offline` app.
+
+Behavioral parity target: `src/jueying_lio/app/run_mapping_offline.cc:26-98`
+(gflags --config_file --bag_file --time_log_file --traj_log_file; rosbag
+replay -> LaserMapping::Run per frame; FPS report; Savetrajectory +
+Timer::PrintAll/DumpIntoFile at exit).
+
+Input: a dataset directory with per-frame PCDs (`frame_%06d.pcd`, optional
+`times.txt` point-time offsets) + `imu.csv` (t, ax, ay, az, gx, gy, gz), or
+`--synthetic N` to replay a generated sequence. Output: TUM trajectory, map
+PCD, timing CSV.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", default="", help="YAML with lio params")
+    p.add_argument("--data_dir", default="", help="dataset directory (PCD frames + imu.csv)")
+    p.add_argument("--synthetic", type=int, default=0, help="replay N synthetic frames instead")
+    p.add_argument("--traj_log_file", default="traj.txt")
+    p.add_argument("--time_log_file", default="time.csv")
+    p.add_argument("--map_file", default="", help="save accumulated map PCD here")
+    p.add_argument("--n_points", type=int, default=8192)
+    p.add_argument("--n_imu", type=int, default=64)
+    return p.parse_args()
+
+
+def build_config(args):
+    from pointcloud_slam_tpu import ops
+    from pointcloud_slam_tpu.models import lio
+    from pointcloud_slam_tpu.utils import config as cfgio
+
+    kw = {}
+    grid_kw = {}
+    if args.config_file:
+        y = cfgio.load_yaml(args.config_file)
+        m = y.get("mapping", y)
+        if "filter_size_surf" in m:
+            kw["scan_leaf"] = float(m["filter_size_surf"])
+        if "filter_size_map" in m:
+            kw["map_leaf"] = float(m["filter_size_map"])
+        if "max_iteration" in m:
+            kw["max_iterations"] = int(m["max_iteration"])
+        if "ivox_grid_resolution" in m:
+            grid_kw["resolution"] = float(m["ivox_grid_resolution"])
+        if "extrinsic_est_en" in m:
+            kw["extrinsic_est"] = bool(m["extrinsic_est_en"])
+    if grid_kw:
+        kw["grid"] = ops.GridConfig(capacity=1 << 17, pts_per_voxel=8, nearby=7, **grid_kw)
+    return lio.LIOConfig(**kw)
+
+
+def frames_from_dir(args):
+    from pointcloud_slam_tpu.io import feed, pcd
+
+    imu = np.loadtxt(os.path.join(args.data_dir, "imu.csv"), delimiter=",")
+    frame_files = sorted(f for f in os.listdir(args.data_dir) if f.startswith("frame_") and f.endswith(".pcd"))
+    scan_times = np.loadtxt(os.path.join(args.data_dir, "scan_times.txt"))
+    for k, name in enumerate(frame_files):
+        pts = pcd.read_pcd_xyz(os.path.join(args.data_dir, name))
+        t0 = scan_times[k]
+        t1 = scan_times[k + 1] if k + 1 < len(scan_times) else t0 + 0.1
+        sel = (imu[:, 0] > t0) & (imu[:, 0] <= t1)
+        chunk = imu[sel]
+        t_offs = np.full(len(pts), t1 - t0, np.float32)
+        yield feed.make_frame(
+            pts, t_offs, chunk[:, 1:4].astype(np.float32), chunk[:, 4:7].astype(np.float32),
+            (chunk[:, 0] - t0).astype(np.float32), args.n_points, args.n_imu,
+        ), t1
+
+
+def frames_synthetic(args):
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+    from test_lio import simulate_sequence
+
+    _, traj, frames = simulate_sequence(n_frames=args.synthetic, n_pts=min(args.n_points, 4000))
+    for k, (fr, pos, R) in enumerate(frames):
+        yield fr, (k + 1) * traj["frame_dt"]
+
+
+def main():
+    args = parse_args()
+    from pointcloud_slam_tpu.geom import so3
+    from pointcloud_slam_tpu.models import lio
+    from pointcloud_slam_tpu.utils import checkpoint as ck
+    from pointcloud_slam_tpu.utils.timer import Timer
+
+    cfg = build_config(args)
+    state = lio.create_state(cfg)
+    step = jax.jit(lambda s, f: lio.lio_step(cfg, s, f))
+
+    src = frames_from_dir(args) if args.data_dir else frames_synthetic(args)
+    times, poss, quats = [], [], []
+    n = 0
+    t_start = time.perf_counter()
+    for frame, stamp in src:
+        def run():
+            return step(state, frame)
+
+        state, out = Timer.evaluate(run, "lio_step")
+        times.append(stamp)
+        poss.append(np.asarray(out.pos))
+        quats.append(np.asarray(so3.to_quat(out.rot)))
+        n += 1
+    wall = time.perf_counter() - t_start
+    print(f"frames: {n}  wall: {wall:.2f}s  mean FPS: {n / max(wall, 1e-9):.2f}")
+    Timer.print_all()
+    if args.time_log_file:
+        Timer.dump_into_file(args.time_log_file)
+    if args.traj_log_file:
+        ck.save_trajectory_tum(args.traj_log_file, times, poss, quats)
+        print(f"trajectory -> {args.traj_log_file}")
+    if args.map_file:
+        from pointcloud_slam_tpu.io import pcd as pcdio
+
+        grid = state.grid
+        pts = np.asarray(grid.pts).reshape(3, -1).T
+        cnt = np.asarray(grid.npts)
+        K = grid.pts.shape[1]
+        # block row k of a slot is valid iff k < npts[slot]
+        rows = np.repeat(np.arange(K)[:, None], grid.pts.shape[2], axis=1)
+        mask = (rows < cnt[None, :]).reshape(-1)
+        pcdio.write_pcd(args.map_file, pts[mask])
+        print(f"map ({mask.sum()} pts) -> {args.map_file}")
+
+
+if __name__ == "__main__":
+    main()
