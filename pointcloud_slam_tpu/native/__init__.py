@@ -1,0 +1,171 @@
+"""Native (C++) layer loader: parity oracle + sensor-ingest shim.
+
+Compiles `native/src/*.cpp` with g++ on first use (cached .so under
+native/build/) and binds through ctypes — no pybind11 dependency. The oracle
+is the correctness reference for the TPU kernels; the ingest shim is the
+native host runtime for high-rate sensor framing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_ROOT, "native", "src")
+_BUILD = os.path.join(_ROOT, "native", "build")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> str:
+    os.makedirs(_BUILD, exist_ok=True)
+    out = os.path.join(_BUILD, "libpcs_native.so")
+    srcs = [os.path.join(_SRC, f) for f in ("oracle.cpp", "ingest.cpp")]
+    newest_src = max(os.path.getmtime(s) for s in srcs)
+    if not os.path.exists(out) or os.path.getmtime(out) < newest_src:
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", out] + srcs
+        subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        _lib = ctypes.CDLL(_build())
+        L = _lib
+        dp = ctypes.POINTER(ctypes.c_double)
+        fp = ctypes.POINTER(ctypes.c_float)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        up = ctypes.POINTER(ctypes.c_uint8)
+        L.oracle_esti_plane.restype = ctypes.c_int
+        L.oracle_esti_plane.argtypes = [dp, ctypes.c_int, ctypes.c_double, dp]
+        L.oracle_knn.restype = None
+        L.oracle_knn.argtypes = [dp, ctypes.c_int, dp, ctypes.c_int, ctypes.c_int, ctypes.c_double, ip, dp]
+        L.oracle_icp_point_to_plane.restype = ctypes.c_int
+        L.oracle_icp_point_to_plane.argtypes = [dp, ctypes.c_int, dp, ctypes.c_int, ctypes.c_int, ctypes.c_double, dp, dp]
+        L.oracle_eigh3.restype = None
+        L.oracle_eigh3.argtypes = [dp, dp]
+        L.ingest_create.restype = ctypes.c_void_p
+        L.ingest_create.argtypes = [ctypes.c_int, ctypes.c_int]
+        L.ingest_destroy.argtypes = [ctypes.c_void_p]
+        L.ingest_push_imu.argtypes = [ctypes.c_void_p, dp, fp, fp, ctypes.c_int]
+        L.ingest_make_frame.restype = ctypes.c_int
+        L.ingest_make_frame.argtypes = [
+            ctypes.c_void_p, fp, dp, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, fp, up, fp, fp, fp, fp, fp, up,
+        ]
+        L.ingest_pending_imu.restype = ctypes.c_int
+        L.ingest_pending_imu.argtypes = [ctypes.c_void_p]
+    return _lib
+
+
+def _dptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _iptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _uptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def esti_plane(pts: np.ndarray, threshold: float = 0.1):
+    """Oracle plane fit. pts (N, 3) -> (coef (4,), valid)."""
+    pts = np.ascontiguousarray(pts, np.float64)
+    coef = np.zeros(4, np.float64)
+    ok = lib().oracle_esti_plane(_dptr(pts), len(pts), threshold, _dptr(coef))
+    return coef, bool(ok)
+
+
+def knn(db: np.ndarray, q: np.ndarray, k: int, max_range: float = 1e9):
+    db = np.ascontiguousarray(db, np.float64)
+    q = np.ascontiguousarray(q, np.float64)
+    idx = np.zeros((len(q), k), np.int32)
+    d2 = np.zeros((len(q), k), np.float64)
+    lib().oracle_knn(_dptr(db), len(db), _dptr(q), len(q), k, max_range, _iptr(idx), _dptr(d2))
+    return idx, d2
+
+
+def icp_point_to_plane(target: np.ndarray, source: np.ndarray, iters: int = 30,
+                       max_corr: float = 5.0, R0=None, t0=None):
+    target = np.ascontiguousarray(target, np.float64)
+    source = np.ascontiguousarray(source, np.float64)
+    R = np.ascontiguousarray(R0 if R0 is not None else np.eye(3), np.float64)
+    t = np.ascontiguousarray(t0 if t0 is not None else np.zeros(3), np.float64)
+    ok = lib().oracle_icp_point_to_plane(
+        _dptr(target), len(target), _dptr(source), len(source), iters, max_corr, _dptr(R), _dptr(t)
+    )
+    return R, t, bool(ok)
+
+
+def eigh3(a6: np.ndarray) -> np.ndarray:
+    a6 = np.ascontiguousarray(a6, np.float64)
+    out = np.zeros(3, np.float64)
+    lib().oracle_eigh3(_dptr(a6), _dptr(out))
+    return out
+
+
+class IngestShim:
+    """Native frame assembler (the SyncPackages role, C++ side)."""
+
+    def __init__(self, n_points: int, n_imu: int):
+        self.n_points = n_points
+        self.n_imu = n_imu
+        self._h = lib().ingest_create(n_points, n_imu)
+
+    def __del__(self):
+        try:
+            lib().ingest_destroy(self._h)
+        except Exception:
+            pass
+
+    def push_imu(self, t: np.ndarray, acc: np.ndarray, gyro: np.ndarray):
+        t = np.ascontiguousarray(t, np.float64)
+        acc = np.ascontiguousarray(acc, np.float32)
+        gyro = np.ascontiguousarray(gyro, np.float32)
+        lib().ingest_push_imu(self._h, _dptr(t), _fptr(acc), _fptr(gyro), len(t))
+
+    @property
+    def pending_imu(self) -> int:
+        return lib().ingest_pending_imu(self._h)
+
+    def make_frame(self, xyz: np.ndarray, t_pts: np.ndarray, t0: float, t1: float,
+                   blind: float = 0.1, filter_num: int = 1):
+        """Returns a dict of LIOFrame-shaped numpy arrays, or None if IMU does
+        not yet cover the scan (retry after more IMU pushes)."""
+        xyz = np.ascontiguousarray(xyz, np.float32)
+        t_pts = np.ascontiguousarray(t_pts, np.float64)
+        NP, NI = self.n_points, self.n_imu
+        out = {
+            "pts": np.zeros((3, NP), np.float32),
+            "pt_mask": np.zeros(NP, np.uint8),
+            "t_offs": np.zeros(NP, np.float32),
+            "imu_acc": np.zeros((NI, 3), np.float32),
+            "imu_gyro": np.zeros((NI, 3), np.float32),
+            "imu_dt": np.zeros(NI, np.float32),
+            "imu_offs": np.zeros(NI, np.float32),
+            "imu_mask": np.zeros(NI, np.uint8),
+        }
+        n = lib().ingest_make_frame(
+            self._h, _fptr(xyz), _dptr(t_pts), len(xyz), t0, t1, blind, filter_num,
+            _fptr(out["pts"]), _uptr(out["pt_mask"]), _fptr(out["t_offs"]),
+            _fptr(out["imu_acc"]), _fptr(out["imu_gyro"]), _fptr(out["imu_dt"]),
+            _fptr(out["imu_offs"]), _uptr(out["imu_mask"]),
+        )
+        if n < 0:
+            return None
+        out["pt_mask"] = out["pt_mask"].astype(bool)
+        out["imu_mask"] = out["imu_mask"].astype(bool)
+        out["n_valid"] = n
+        return out
