@@ -20,6 +20,6 @@ import jax as _jax
 # bandwidth/gather-bound, not MXU-bound, so this costs little.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from . import geom  # noqa: E402
+from . import geom, io, maps, models, ops, parallel, register, utils  # noqa: E402
 
-__all__ = ["geom"]
+__all__ = ["geom", "ops", "register", "models", "maps", "parallel", "io", "utils"]
