@@ -23,9 +23,10 @@ from pointcloud_slam_tpu.io import synthetic  # noqa: E402
 
 N_POINTS = 20_000
 N_ITERS = 30
-GRID = ops.GridConfig(capacity=1 << 17, pts_per_voxel=8, resolution=0.5, nearby=7)
+GRID = ops.GridConfig(capacity=1 << 17, pts_per_voxel=4, resolution=0.5, probe=4, nearby=7)
 ICP = register.ICPConfig(
-    solver=register.SolverConfig(max_iterations=N_ITERS, rotation_epsilon=0.0, translation_epsilon=0.0)
+    search_every=10,
+    solver=register.SolverConfig(max_iterations=N_ITERS, rotation_epsilon=0.0, translation_epsilon=0.0),
 )  # epsilon 0: run all 30 iterations — honest full-workload timing
 
 
@@ -39,17 +40,16 @@ def main():
 
     solve = jax.jit(lambda g, s: register.point_to_plane_icp(grid_cfg, g, s, cfg=ICP))
     res = solve(grid, src_j)
-    jax.block_until_ready(res)  # compile + warm up
-
-    # sanity: the solve must actually converge to the true pose.
-    # NOTE: host math in numpy only — a single EAGER jnp op on the axon TPU
-    # tunnel permanently degrades subsequent jitted dispatch by ~3000x.
+    # sanity via an explicit download (this also forces real execution — the
+    # axon tunnel defers compute until a device->host read; honest timing
+    # must read back every repetition)
     terr = float(np.linalg.norm(np.asarray(res.pose.t) - t))
+
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
         res = solve(grid, src_j)
-    jax.block_until_ready(res)
+        _ = np.asarray(res.pose.t)
     dt = (time.perf_counter() - t0) / reps
     fps = 1.0 / dt
 

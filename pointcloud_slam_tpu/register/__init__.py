@@ -1,7 +1,7 @@
 """Registration: shared GN/LM SE(3) solver, point-to-plane ICP, NDT, (V)GICP."""
 
 from . import gicp, icp, ndt, solver, vgicp
-from .icp import ICPConfig, ICPResult, build_target_map, fitness_score, point_to_plane_icp
+from .icp import ICPConfig, ICPResult, batched_point_to_plane_icp, build_target_map, fitness_score, point_to_plane_icp
 from .ndt import NDTConfig, NDTResult
 from .vgicp import VGICPConfig, VGICPResult, source_covariances
 from .gicp import GICPConfig, GICPResult
@@ -23,6 +23,7 @@ __all__ = [
     "ICPConfig",
     "ICPResult",
     "point_to_plane_icp",
+    "batched_point_to_plane_icp",
     "build_target_map",
     "fitness_score",
     "SolverConfig",

@@ -170,6 +170,98 @@ def point_to_plane_icp(
     return ICPResult(pose, done, iters, err, ninl, H)
 
 
+@functools.partial(jax.jit, static_argnames=("grid_cfg", "cfg"))
+def batched_point_to_plane_icp(
+    grid_cfg: ops.GridConfig,
+    grid: ops.VoxelHashMap,
+    sources: jnp.ndarray,      # (B, 3, N) — B independent frames, one shared map
+    source_mask: Optional[jnp.ndarray] = None,  # (B, N)
+    init_R: Optional[jnp.ndarray] = None,       # (B, 3, 3)
+    init_t: Optional[jnp.ndarray] = None,       # (B, 3)
+    cfg: ICPConfig = ICPConfig(),
+):
+    """Throughput-mode ICP: B frames solved in ONE program.
+
+    The point axes of all problems are flattened into a single (3, B*N) query
+    set so every kNN search runs as one gather pass; H/b reduce per problem
+    via a (6, B, N) einsum. The search schedule is shared across the batch
+    (a vmapped lax.cond would execute both branches and destroy the
+    correspondence-caching win). This is the production serving shape: it
+    amortizes per-program launch overhead across frames.
+    """
+    B, _, N = sources.shape
+    dtype = sources.dtype
+    if source_mask is None:
+        source_mask = jnp.ones((B, N), bool)
+    if init_R is None:
+        init_R = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3))
+    if init_t is None:
+        init_t = jnp.zeros((B, 3), dtype)
+    scfg = cfg.solver
+    mask_flat = source_mask.reshape(B * N)
+
+    def transform(R, t):
+        pw = jnp.einsum("bij,bjn->bin", R, sources) + t[:, :, None]
+        return pw.transpose(1, 0, 2).reshape(3, B * N)
+
+    def search(R, t):
+        return correspondences(cfg, grid_cfg, grid, transform(R, t), mask_flat)
+
+    def body(carry, it):
+        R, t, done, iters, coef, valid, big = carry
+        do_search = ((it % cfg.search_every == 0) | big) & ~jnp.all(done)
+        coef, valid = jax.lax.cond(do_search, lambda: search(R, t), lambda: (coef, valid))
+        pw = transform(R, t)
+        nx = jnp.where(valid, coef[0], 0.0)
+        ny = jnp.where(valid, coef[1], 0.0)
+        nz = jnp.where(valid, coef[2], 0.0)
+        r_w = jnp.where(valid, pw[0] * nx + pw[1] * ny + pw[2] * nz + coef[3], 0.0)
+        cx = pw[1] * nz - pw[2] * ny
+        cy = pw[2] * nx - pw[0] * nz
+        cz = pw[0] * ny - pw[1] * nx
+        J = jnp.stack([cx, cy, cz, nx, ny, nz], axis=0).reshape(6, B, N)
+        rb = r_w.reshape(B, N)
+        H = jnp.einsum("ibn,jbn->bij", J, J)
+        b = jnp.einsum("ibn,bn->bi", J, rb)
+        d = jax.vmap(lambda Hb, bb: solver._solve_step(Hb, bb, jnp.zeros((), dtype), scfg.degeneracy_threshold))(H, b)
+        conv = (jnp.max(jnp.abs(d[:, :3]), axis=1) < scfg.rotation_epsilon) & (
+            jnp.max(jnp.abs(d[:, 3:]), axis=1) < scfg.translation_epsilon
+        )
+        dR = so3_exp_batched(d[:, :3])
+        R_new = dR @ R
+        t_new = jnp.einsum("bij,bj->bi", dR, t) + d[:, 3:]
+        keep = done[:, None, None]
+        R = jnp.where(keep, R, R_new)
+        t = jnp.where(done[:, None], t, t_new)
+        iters = iters + jnp.where(done, 0, 1)
+        done = done | conv
+        big = jnp.any((jnp.max(jnp.abs(d[:, :3]), axis=1) > cfg.refresh_rot) | (jnp.max(jnp.abs(d[:, 3:]), axis=1) > cfg.refresh_trans))
+        return (R, t, done, iters, coef, valid, big), None
+
+    zero_s = jnp.sum(init_t) * 0
+    zero_n = jnp.sum(sources) * 0
+    init = (
+        init_R,
+        init_t,
+        jnp.zeros((B,), bool) | (zero_s > 1.0),
+        jnp.zeros((B,), jnp.int32) + zero_s.astype(jnp.int32),
+        jnp.zeros((4, B * N), dtype) + zero_n,
+        jnp.zeros((B * N,), bool) | (zero_n > 1.0),
+        zero_s > 1.0,
+    )
+    (R, t, done, iters, coef, valid, _), _ = jax.lax.scan(
+        body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32)
+    )
+    return se3.Pose(R, t), done, iters
+
+
+def so3_exp_batched(w: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3) -> (B, 3, 3); thin alias over geom.so3.exp (already batched)."""
+    from ..geom import so3 as _so3
+
+    return _so3.exp(w)
+
+
 def build_target_map(
     target: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,

@@ -48,10 +48,41 @@ class SolveResult(NamedTuple):
     # plays the role of getFinalHessian / getMaxEigen in the reference)
 
 
+def _chol_solve6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled 6x6 Cholesky solve (A SPD). Scalar arithmetic only — the
+    batched-LAPACK lowering of jnp.linalg.solve costs ~1-2 ms per call on TPU,
+    which dominates a 30-iteration GN loop."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward: L y = b
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back: L^T x = y
+    x = [None] * 6
+    for i in range(5, -1, -1):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _solve_step(H: jnp.ndarray, b: jnp.ndarray, lam: jnp.ndarray, degeneracy_threshold: float) -> jnp.ndarray:
     """Solve (H + lam*I) d = -b with optional degeneracy projection of d."""
     A = H + lam * jnp.eye(6, dtype=H.dtype)
-    d = jnp.linalg.solve(A, -b)
+    d = _chol_solve6(A, -b)
     if degeneracy_threshold > 0:
         w, V = jnp.linalg.eigh(A)
         keep = (w > degeneracy_threshold).astype(H.dtype)
