@@ -1,10 +1,12 @@
 """Faster-LIO style tightly-coupled lidar-inertial odometry (flagship model)."""
 
-from . import eskf, imu, pipeline, state
+from . import eskf, fusion, imu, pipeline, preprocess, state
 from .pipeline import LIOConfig, LIOFrame, LIOOutput, LIOState, create_state, lio_step, reset
 
 __all__ = [
     "state",
+    "fusion",
+    "preprocess",
     "eskf",
     "imu",
     "pipeline",
