@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Offline full-map reconstruction from saved keyframes + poses.
+
+Behavioral parity target:
+  - `scripts/construct_full_map.sh:1-10` (offline keyframes + poses -> full
+    map PCD; the jueying_pgo/dynamic_map product path),
+  - `src/tool/occupancy_mapping` `OccupancyServerFromFile` (:384-622):
+    keyframe PCDs + pose file -> occupancy grid map(s) saved as PGM/YAML.
+
+Inputs: a directory of `key_%06d.pcd` + `poses_kitti.txt` (row-major 3x4 per
+line). Outputs: full cloud PCD (voxel-downsampled) and optionally the 2-D
+occupancy map.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("keyframe_dir")
+    p.add_argument("--poses", default="poses_kitti.txt")
+    p.add_argument("--out", default="full_map.pcd")
+    p.add_argument("--leaf", type=float, default=0.2)
+    p.add_argument("--occupancy", default="", help="also save occupancy map at this path prefix")
+    p.add_argument("--occ_size", type=int, default=1024)
+    p.add_argument("--occ_res", type=float, default=0.1)
+    args = p.parse_args()
+
+    from pointcloud_slam_tpu import ops
+    from pointcloud_slam_tpu.io import pcd as pcdio
+    from pointcloud_slam_tpu.maps import occupancy
+
+    poses = np.loadtxt(os.path.join(args.keyframe_dir, args.poses)).reshape(-1, 3, 4)
+    frames = sorted(f for f in os.listdir(args.keyframe_dir) if f.startswith("key_") and f.endswith(".pcd"))
+    assert len(frames) <= len(poses), f"{len(frames)} keyframes but {len(poses)} poses"
+
+    clouds = []
+    for k, name in enumerate(frames):
+        pts = pcdio.read_pcd_xyz(os.path.join(args.keyframe_dir, name))
+        R, t = poses[k, :, :3], poses[k, :, 3]
+        clouds.append(pts @ R.T + t)
+    world = np.concatenate(clouds).astype(np.float32)
+    print(f"{len(frames)} keyframes -> {len(world)} points")
+
+    # device voxel downsample in chunks of fixed shape
+    CH = 1 << 18
+    kept = []
+    ds = jax.jit(lambda p, m: ops.voxel_downsample(p, m, args.leaf))
+    for i in range(0, len(world), CH):
+        chunk = world[i : i + CH]
+        pad = CH - len(chunk)
+        arr = jnp.asarray(np.concatenate([chunk, np.zeros((pad, 3), np.float32)]).T)
+        mask = jnp.asarray(np.concatenate([np.ones(len(chunk), bool), np.zeros(pad, bool)]))
+        out, om = ds(arr, mask)
+        out, om = np.asarray(out).T, np.asarray(om)
+        kept.append(out[om])
+    full = np.concatenate(kept)
+    # second pass to dedup across chunk boundaries
+    if len(kept) > 1 and len(full) <= CH:
+        pad = CH - len(full)
+        arr = jnp.asarray(np.concatenate([full, np.zeros((pad, 3), np.float32)]).T)
+        mask = jnp.asarray(np.concatenate([np.ones(len(full), bool), np.zeros(pad, bool)]))
+        out, om = ds(arr, mask)
+        full = np.asarray(out).T[np.asarray(om)]
+    pcdio.write_pcd(args.out, full)
+    print(f"full map ({len(full)} pts after {args.leaf} m leaf) -> {args.out}")
+
+    if args.occupancy:
+        cfg = occupancy.OccupancyConfig(
+            size=args.occ_size, resolution=args.occ_res, origin=-args.occ_size * args.occ_res / 2
+        )
+        grid = occupancy.create(cfg)
+        step = jax.jit(lambda g, pts, m, xy: occupancy.insert_cloud(cfg, g, pts, m, xy, jnp.zeros(())))
+        NP = 1 << 15
+        for k, name in enumerate(frames):
+            pts = pcdio.read_pcd_xyz(os.path.join(args.keyframe_dir, name))
+            R, t = poses[k, :, :3], poses[k, :, 3]
+            w = (pts @ R.T + t).astype(np.float32)[:NP]
+            pad = NP - len(w)
+            arr = jnp.asarray(np.concatenate([w, np.zeros((pad, 3), np.float32)]).T)
+            mask = jnp.asarray(np.concatenate([np.ones(len(w), bool), np.zeros(pad, bool)]))
+            grid = step(grid, arr, mask, jnp.asarray(t[:2], jnp.float32))
+        occupancy.save_pgm(cfg, grid, args.occupancy)
+        print(f"occupancy map -> {args.occupancy}.pgm/.yaml")
+
+
+if __name__ == "__main__":
+    main()

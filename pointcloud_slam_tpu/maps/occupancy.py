@@ -147,6 +147,33 @@ def to_ros_grid(cfg: OccupancyConfig, grid: OccupancyGrid) -> jnp.ndarray:
     return jnp.where(unknown, -1, out).astype(jnp.int8)
 
 
+def load_pgm(path: str):
+    """Load a PGM+YAML map pair back into (trinary int8 grid, meta dict) —
+    the map_server image_loader role (cloud_to_map/map_server, tested by its
+    utest.cpp). Returns the grid in this module's axis convention."""
+    from ..utils import config as cfgio
+
+    meta = cfgio.load_yaml(path + ".yaml")
+    with open(path + ".pgm", "rb") as f:
+        magic = f.readline().strip()
+        assert magic == b"P5", f"unsupported PGM magic {magic!r}"
+        line = f.readline()
+        while line.startswith(b"#"):
+            line = f.readline()
+        w, h = (int(v) for v in line.split())
+        maxval = int(f.readline())
+        img = np.frombuffer(f.read(w * h), np.uint8).reshape(h, w)
+    # undo the save transform: rows were flipud(img.T)
+    raw = np.flipud(img).T
+    occ_th = float(meta.get("occupied_thresh", 0.65))
+    free_th = float(meta.get("free_thresh", 0.196))
+    occ = (255 - raw) / 255.0  # map_server occupancy convention (negate=0)
+    grid = np.full(raw.shape, -1, np.int8)
+    grid[occ > occ_th] = 100
+    grid[occ < free_th] = 0
+    return grid, meta
+
+
 def save_pgm(cfg: OccupancyConfig, grid: OccupancyGrid, path: str):
     """PGM + YAML export, map_server conventions (saveMap :252-344)."""
     p = np.asarray(to_probability(cfg, grid))
