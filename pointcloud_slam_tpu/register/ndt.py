@@ -159,6 +159,106 @@ def _linearize_cached(d1, d2, means, icovs, valid, pw, src):
     return H, b, -score  # err = -score (we minimize)
 
 
+def voxelize_source(cfg: NDTConfig, source: jnp.ndarray, mask: Optional[jnp.ndarray] = None, capacity: int = 1 << 14):
+    """Source-side Gaussian voxelization for D2D mode (NDTCuda's source
+    voxelmap). Returns (means (3, C), covs (6, C), weight mask (C,))."""
+    if mask is None:
+        mask = jnp.ones(source.shape[1], bool)
+    grid_cfg = ops.GridConfig(capacity=capacity, resolution=cfg.resolution, nearby=1)
+    g = gg.build(grid_cfg, source, mask, mode="ndt", min_points=cfg.min_points_per_voxel)
+    return g.mean, g.cov, g.valid, g.count
+
+
+@functools.partial(jax.jit, static_argnames=("grid_cfg", "cfg"))
+def align_d2d(
+    grid_cfg: ops.GridConfig,
+    target: gg.GaussianVoxelMap,
+    src_means: jnp.ndarray,   # (3, C) source voxel means (sensor frame)
+    src_covs: jnp.ndarray,    # (6, C)
+    src_valid: jnp.ndarray,   # (C,)
+    init_pose: Optional[se3.Pose] = None,
+    cfg: NDTConfig = NDTConfig(),
+) -> NDTResult:
+    """Distribution-to-distribution NDT (NDTCuda D2D mode,
+    fast_gicp/.../ndt_compute_derivatives.cu): source voxel Gaussians matched
+    against target voxel Gaussians with combined covariance
+    M = (C_tgt + R C_src R^T)^-1 under the same exponential score."""
+    from .vgicp import _sym_inv3
+
+    if init_pose is None:
+        init_pose = se3.identity(src_means.dtype)
+    d1, d2 = cfg.gauss_coeffs()
+    scfg = cfg.solver
+    dtype = src_means.dtype
+    offsets = ops.stencil_offsets(cfg.nearby)
+
+    def linearize(pose):
+        pw = pose.apply(src_means)
+        R = pose.R
+        s00, s01, s02, s11, s12, s22 = (src_covs[c] for c in range(6))
+        rc = [[R[i, 0] * [s00, s01, s02][j] + R[i, 1] * [s01, s11, s12][j] + R[i, 2] * [s02, s12, s22][j] for j in range(3)] for i in range(3)]
+        t00 = rc[0][0] * R[0, 0] + rc[0][1] * R[0, 1] + rc[0][2] * R[0, 2]
+        t01 = rc[0][0] * R[1, 0] + rc[0][1] * R[1, 1] + rc[0][2] * R[1, 2]
+        t02 = rc[0][0] * R[2, 0] + rc[0][1] * R[2, 1] + rc[0][2] * R[2, 2]
+        t11 = rc[1][0] * R[1, 0] + rc[1][1] * R[1, 1] + rc[1][2] * R[1, 2]
+        t12 = rc[1][0] * R[2, 0] + rc[1][1] * R[2, 1] + rc[1][2] * R[2, 2]
+        t22 = rc[2][0] * R[2, 0] + rc[2][1] * R[2, 1] + rc[2][2] * R[2, 2]
+        coords = ops.point_to_voxel(pw, cfg.resolution)
+        H = jnp.zeros((6, 6), dtype)
+        b = jnp.zeros((6,), dtype)
+        err = jnp.zeros((), dtype)
+        px, py, pz = pw[0], pw[1], pw[2]
+        zero = px * 0
+        one = zero + 1.0
+        cols = [(zero, -pz, py), (pz, zero, -px), (-py, px, zero), (one, zero, zero), (zero, one, zero), (zero, zero, one)]
+        for (ox, oy, oz) in offsets.tolist():
+            slot = gg.probe(grid_cfg, target, (coords[0] + ox, coords[1] + oy, coords[2] + oz))
+            safe = jnp.maximum(slot, 0)
+            ok = (slot >= 0) & target.valid[safe] & src_valid
+            m00, m01, m02, m11, m12, m22 = _sym_inv3(
+                target.cov[0, safe] + t00, target.cov[1, safe] + t01, target.cov[2, safe] + t02,
+                target.cov[3, safe] + t11, target.cov[4, safe] + t12, target.cov[5, safe] + t22,
+            )
+            qx = px - target.mean[0, safe]
+            qy = py - target.mean[1, safe]
+            qz = pz - target.mean[2, safe]
+            rx = m00 * qx + m01 * qy + m02 * qz
+            ry = m01 * qx + m11 * qy + m12 * qz
+            rz = m02 * qx + m12 * qy + m22 * qz
+            e = jnp.clip(qx * rx + qy * ry + qz * rz, 0.0, 50.0)
+            w = jnp.where(ok, -d1 * d2 * jnp.exp(-0.5 * d2 * e), 0.0)
+            err = err + jnp.sum(jnp.where(ok, d1 * jnp.exp(-0.5 * d2 * e), 0.0))
+            mj = []
+            for (ax, ay, az) in cols:
+                mj.append((m00 * ax + m01 * ay + m02 * az, m01 * ax + m11 * ay + m12 * az, m02 * ax + m12 * ay + m22 * az))
+            for i in range(6):
+                ai = cols[i]
+                b = b.at[i].add(jnp.sum(w * (ai[0] * rx + ai[1] * ry + ai[2] * rz)))
+                for j in range(i, 6):
+                    hij = jnp.sum(w * (ai[0] * mj[j][0] + ai[1] * mj[j][1] + ai[2] * mj[j][2]))
+                    H = H.at[i, j].add(hij)
+                    H = H.at[j, i].add(jnp.where(i == j, 0.0, hij))
+        return H, b, err
+
+    def body(carry, it):
+        pose, done, iters, Hl = carry
+        H, b, err = linearize(pose)
+        lam = 1e-6 * jnp.max(jnp.abs(jnp.diag(H)))
+        d = solver._solve_step(H, b, lam, scfg.degeneracy_threshold)
+        conv = solver._converged(d, scfg)
+        pose_new = se3.retract_left(pose, d)
+        pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
+        iters = iters + jnp.where(done, 0, 1)
+        done = done | conv
+        return (pose, done, iters, H), err
+
+    zero_s = jnp.sum(init_pose.t) * 0
+    init = (init_pose, zero_s > 1.0, zero_s.astype(jnp.int32), jnp.zeros((6, 6), dtype) + zero_s)
+    (pose, done, iters, H), errs = jax.lax.scan(body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32))
+    eigvals = jnp.linalg.eigvalsh(H)
+    return NDTResult(pose, done, iters, -errs[-1], H, eigvals[-1])
+
+
 @functools.partial(jax.jit, static_argnames=("grid_cfg", "cfg"))
 def align(
     grid_cfg: ops.GridConfig,

@@ -124,3 +124,15 @@ class TestGICP:
         rot_err, trans_err = pose_errors(res.pose, R_inv, t_inv)
         assert rot_err < 1.0
         assert trans_err < 0.1
+
+
+class TestNDTD2D:
+    def test_forward_recovery(self):
+        world, src, R, t = make_pair(seed=9)
+        cfg = register.NDTConfig(resolution=1.0)
+        grid_cfg, target = register.ndt.build_target(cfg, soa(world))
+        sm, sc, sv, _cnt = register.ndt.voxelize_source(cfg, soa(src))
+        res = register.ndt.align_d2d(grid_cfg, target, sm, sc, sv, cfg=cfg)
+        rot_err, trans_err = pose_errors(res.pose, R, t)
+        assert rot_err < 1.5, f"rot {rot_err}"
+        assert trans_err < 0.15, f"trans {trans_err}"
