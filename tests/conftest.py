@@ -21,11 +21,9 @@ import jax  # noqa: E402
 # image; the config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: the SLAM pipeline programs are large; caching
-# amortizes their compile time across test runs
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+# NOTE: do NOT enable the persistent compilation cache here — writing the
+# multi-hundred-MB serialized SLAM executable segfaults inside
+# jax.compilation_cache.put_executable_and_time (zstd path) on this image.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
