@@ -1,13 +1,26 @@
 #!/usr/bin/env python
-"""Headline benchmark: scan-to-map point-to-plane ICP frames/sec on one chip.
+"""Headline benchmark + the full BASELINE.json config suite on one chip.
 
-BASELINE.json metric: "Scan-match frames/sec/chip (20k-pt Livox)". Config 1:
-pairwise point-to-plane ICP, 20k-pt frames, 30 GN iterations. Baseline target:
-100 Hz per v5e chip (vs_baseline = achieved / 100).
+Headline (config 1): scan-to-map point-to-plane ICP frames/sec, 20k-pt
+frames, 30 GN iterations — target 100 Hz/chip (vs_baseline = fps / 100).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary (configs 2-5, reported in detail.secondary):
+  2. NDT scan-to-map over a Livox-like frame sequence      [fps]
+  3. Full LIO loop (iESKF + undistort + map insert)        [fps]
+  4. Occupancy-grid mapping + pcd2map pipeline             [scans/sec]
+  5. Pose-graph backend solve, 5k keyframes + 256 loops    [ms/solve]
+
+Throughput-mode measurement: frames are chained inside ONE jitted program
+(lax.map / lax.scan), one device->host readback at the end — the production
+streaming shape (the axon tunnel costs a fixed ~40 ms per program+readback
+round trip; chaining amortizes it exactly like a real odometry loop reading
+poses back in batches). Every frame still runs its full workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+Use --only N to run a single config while developing.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -23,6 +36,7 @@ from pointcloud_slam_tpu.io import synthetic  # noqa: E402
 
 N_POINTS = 20_000
 N_ITERS = 30
+F_CHAIN = 16   # frames per program (config 1/2)
 GRID = ops.GridConfig(capacity=1 << 17, pts_per_voxel=4, resolution=0.5, probe=4, nearby=7)
 ICP = register.ICPConfig(
     search_every=10,
@@ -30,35 +44,228 @@ ICP = register.ICPConfig(
 )  # epsilon 0: run all 30 iterations — honest full-workload timing
 
 
-def main():
+def _frames(world, n, n_pts, seed0=100, rot=0.05, trans=0.3):
+    rng = np.random.default_rng(1)
+    srcs, gts = [], []
+    for f in range(n):
+        R, t = synthetic.random_pose(seed=seed0 + f, rot_scale=rot, trans_scale=trans)
+        sel = rng.choice(len(world), size=n_pts, replace=False)
+        srcs.append(((world[sel] - t) @ R).astype(np.float32).T)
+        gts.append(t)
+    return jnp.asarray(np.stack(srcs)), np.stack(gts)
+
+
+def config1_icp():
     world = synthetic.make_room_cloud(60_000, seed=0)
-    R, t = synthetic.random_pose(seed=1, rot_scale=0.05, trans_scale=0.3)
-    src = ((world[:N_POINTS] - t) @ R).astype(np.float32)
-
+    srcs, gt_t = _frames(world, F_CHAIN, N_POINTS)
     grid_cfg, grid = register.build_target_map(jnp.asarray(world.T), grid_cfg=GRID)
-    src_j = jnp.asarray(np.ascontiguousarray(src.T))
 
-    solve = jax.jit(lambda g, s: register.point_to_plane_icp(grid_cfg, g, s, cfg=ICP))
-    res = solve(grid, src_j)
-    # sanity via an explicit download (this also forces real execution — the
-    # axon tunnel defers compute until a device->host read; honest timing
-    # must read back every repetition)
-    terr = float(np.linalg.norm(np.asarray(res.pose.t) - t))
+    @jax.jit
+    def solve_chain(grid, srcs):
+        res = jax.lax.map(lambda s: register.point_to_plane_icp(grid_cfg, grid, s, cfg=ICP), srcs)
+        return res.pose.t, res.pose.R
 
-    reps = 20
+    ts, _ = solve_chain(grid, srcs)
+    terr = float(np.max(np.linalg.norm(np.asarray(ts) - gt_t, axis=1)))
+    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = solve(grid, src_j)
-        _ = np.asarray(res.pose.t)
+        ts, _ = solve_chain(grid, srcs)
+        _ = np.asarray(ts)
+    dt = (time.perf_counter() - t0) / (reps * F_CHAIN)
+
+    solve1 = jax.jit(lambda g, s: register.point_to_plane_icp(grid_cfg, g, s, cfg=ICP).pose.t)
+    _ = np.asarray(solve1(grid, srcs[0]))
+    t0 = time.perf_counter()
+    for f in range(4):
+        _ = np.asarray(solve1(grid, srcs[f % F_CHAIN]))
+    lat_ms = (time.perf_counter() - t0) / 4 * 1e3
+    return 1.0 / dt, {"per_frame_ms": round(dt * 1e3, 3), "single_frame_latency_ms": round(lat_ms, 3),
+                      "chain": F_CHAIN, "trans_err_max_m": round(terr, 5)}
+
+
+def config2_ndt():
+    """NDT scan-to-map matching, chained frame sequence (BASELINE config 2)."""
+    world = synthetic.make_room_cloud(60_000, seed=2)
+    n_pts = 10_000
+    srcs, gt_t = _frames(world, F_CHAIN, n_pts, seed0=300, rot=0.03, trans=0.2)
+    ncfg = register.NDTConfig(resolution=1.0, solver=register.SolverConfig(max_iterations=20))
+    ndt_grid, ndt_map = register.ndt.build_target(ncfg, jnp.asarray(world.T), capacity=1 << 15)
+
+    @jax.jit
+    def solve_chain(srcs):
+        res = jax.lax.map(lambda s: register.ndt.align(ndt_grid, ndt_map, s, cfg=ncfg), srcs)
+        return res.pose.t
+
+    ts = solve_chain(srcs)
+    terr = float(np.max(np.linalg.norm(np.asarray(ts) - gt_t, axis=1)))
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _ = np.asarray(solve_chain(srcs))
+    dt = (time.perf_counter() - t0) / (reps * F_CHAIN)
+    return {"ndt_scan_to_map_fps_10k": round(1.0 / dt, 2), "ndt_trans_err_max_m": round(terr, 4)}
+
+
+def config3_lio(n_frames=200):
+    """Full LIO loop throughput (BASELINE config 3; 5k-frame workload rate
+    measured over n_frames chained in blocks)."""
+    from pointcloud_slam_tpu.io import feed
+    from pointcloud_slam_tpu.models import lio
+
+    cfg = lio.LIOConfig(
+        grid=ops.GridConfig(capacity=1 << 17, pts_per_voxel=8, resolution=0.4, nearby=7),
+        scan_leaf=0.3, map_leaf=0.3, init_imu_frames=1,
+    )
+    BLOCK = 20
+    n_pts, n_imu = 20_000, 20
+    world = synthetic.make_room_cloud(80_000, seed=3, size=30.0)
+    traj = synthetic.make_imu_trajectory(n_frames + 1, imu_per_frame=n_imu, frame_dt=0.1, seed=3)
+
+    frames = []
+    for f in range(n_frames):
+        i0, i1 = f * n_imu, (f + 1) * n_imu
+        pts = synthetic.make_scan_from_world(world, traj["pos"][i1], n_out=n_pts, seed=f)
+        # express in body frame at scan end
+        pts = (pts - 0.0) @ np.eye(3, dtype=np.float32)  # already sensor-relative
+        imu_t = (traj["t"][i0 + 1 : i1 + 1] - traj["t"][i0]).astype(np.float32)
+        frames.append(feed.make_frame(
+            pts, np.full(len(pts), 0.1, np.float32), traj["acc"][i0:i1], traj["gyro"][i0:i1],
+            imu_t, n_points=n_pts, n_imu=n_imu, prev_imu_t=0.0,
+        ))
+    stacked = [jax.tree.map(lambda *xs: jnp.stack(xs), *frames[i : i + BLOCK]) for i in range(0, n_frames, BLOCK)]
+
+    @jax.jit
+    def run_block(state, fr_block):
+        def body(s, fr):
+            s, out = lio.lio_step(cfg, s, fr)
+            return s, out.pos
+
+        return jax.lax.scan(body, state, fr_block)
+
+    state = lio.create_state(cfg)
+    state, _ = run_block(state, stacked[0])  # warmup/compile + init frames
+    jax.block_until_ready(state.P)
+    t0 = time.perf_counter()
+    done = 0
+    for blk in stacked[1:]:
+        state, ps = run_block(state, blk)
+        _ = np.asarray(ps[-1])
+        done += BLOCK
+    dt = (time.perf_counter() - t0) / max(done, 1)
+    return {"lio_fps_20k": round(1.0 / dt, 2), "lio_frames_measured": done}
+
+
+def config4_occupancy():
+    """Occupancy mapping + pcd2map nav-cloud pipeline (BASELINE config 4)."""
+    from pointcloud_slam_tpu.maps import occupancy as occ
+    from pointcloud_slam_tpu.maps import pcd2map
+
+    cfg = occ.OccupancyConfig(size=1024, resolution=0.1, max_range=20.0, min_z=-0.5, max_z=2.0)
+    world = synthetic.make_room_cloud(60_000, seed=4)
+    grid = occ.create(cfg)
+    n_scans = 64
+    clouds = []
+    for k in range(n_scans):
+        pose = np.asarray([0.1 * k, 0.05 * k], np.float32)
+        clouds.append((jnp.asarray(world[(k * 900) % 40_000 :][:8192].T), pose))
+
+    @jax.jit
+    def insert_all(grid, pts_stack, poses):
+        def body(g, inp):
+            p, xy = inp
+            return occ.insert_cloud(cfg, g, p, jnp.ones(p.shape[1], bool), xy, 0.0), 0
+
+        g, _ = jax.lax.scan(body, grid, (pts_stack, poses))
+        return g
+
+    pts_stack = jnp.stack([c[0] for c in clouds])
+    poses = jnp.stack([jnp.asarray(c[1]) for c in clouds])
+    g = insert_all(grid, pts_stack, poses)
+    jax.block_until_ready(g.logodds)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        g = insert_all(grid, pts_stack, poses)
+        _ = np.asarray(g.logodds[0, 0])
+    dt = (time.perf_counter() - t0) / (reps * n_scans)
+
+    # pcd2map: downsample + z-band nav cloud of the full building scan
+    t0 = time.perf_counter()
+    nav, nmask = pcd2map.pcd_to_nav_cloud(jnp.asarray(world.T), jnp.ones(len(world), bool), leaf=0.2, z_min=0.1, z_max=1.5)
+    _ = np.asarray(nmask.sum())
+    pcd2map_ms = (time.perf_counter() - t0) * 1e3
+    return {"occupancy_scans_per_sec": round(1.0 / dt, 2), "pcd2map_ms_60k": round(pcd2map_ms, 1)}
+
+
+def config5_backend():
+    """Pose-graph solve at 5k keyframes + 256 loops (BASELINE config 5)."""
+    from pointcloud_slam_tpu.models.liosam import backend as bk
+
+    KF, L = 5120, 256
+    cfg = bk.BackendConfig(max_keyframes=KF, max_loops=L, gn_iterations=6, pcg_iterations=60)
+    rng = np.random.default_rng(0)
+    # circular trajectory with drift; loops close ring-distance neighbors
+    ang = np.linspace(0, 4 * np.pi, KF)
+    t_true = np.stack([50 * np.cos(ang), 50 * np.sin(ang), 0.02 * np.arange(KF)], 1).astype(np.float32)
+    g = bk.create(cfg)
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), (KF, 3, 3))
+    drift = np.cumsum(rng.normal(0, 0.01, (KF, 3)).astype(np.float32), axis=0)
+    t_est = t_true + drift
+    odom_t = np.concatenate([np.zeros((1, 3), np.float32), np.diff(t_true, axis=0)], 0)
+    half = KF // 2
+    li = rng.integers(0, half - 1, L).astype(np.int32)
+    lj = (li + half).astype(np.int32)
+    lt = (t_true[lj] - t_true[li]).astype(np.float32)
+    g = g._replace(
+        R=jnp.asarray(eye), t=jnp.asarray(t_est), n=jnp.asarray(KF, jnp.int32),
+        odom_R=jnp.asarray(eye), odom_t=jnp.asarray(odom_t),
+        odom_info=jnp.full((KF, 6), 1e2, jnp.float32),
+        loop_i=jnp.asarray(li), loop_j=jnp.asarray(lj),
+        loop_R=jnp.broadcast_to(jnp.eye(3), (L, 3, 3)).astype(jnp.float32),
+        loop_t=jnp.asarray(lt), loop_info=jnp.full((L, 6), 1e3, jnp.float32),
+        loop_robust=jnp.ones((L,), bool), n_loops=jnp.asarray(L, jnp.int32),
+    )
+    solved = bk.optimize(cfg, g)
+    err0 = float(np.linalg.norm(np.asarray(g.t) - t_true, axis=1).max())
+    err1 = float(np.linalg.norm(np.asarray(solved.t) - t_true, axis=1).max())
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        solved = bk.optimize(cfg, g)
+        _ = np.asarray(solved.t[0])
     dt = (time.perf_counter() - t0) / reps
-    fps = 1.0 / dt
+    return {"backend_5k_solve_ms": round(dt * 1e3, 1), "backend_err_before_m": round(err0, 3),
+            "backend_err_after_m": round(err1, 3)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=int, default=0, help="run a single config (1-5)")
+    ap.add_argument("--skip_secondary", action="store_true")
+    args = ap.parse_args()
+
+    if args.only:
+        fns = {1: config1_icp, 2: config2_ndt, 3: config3_lio, 4: config4_occupancy, 5: config5_backend}
+        out = fns[args.only]()
+        print(json.dumps(out if isinstance(out, dict) else {"fps": out[0], **out[1]}))
+        return
+
+    fps, det1 = config1_icp()
+    secondary = {}
+    if not args.skip_secondary:
+        for fn in (config2_ndt, config3_lio, config4_occupancy, config5_backend):
+            try:
+                secondary.update(fn())
+            except Exception as e:  # a secondary config must never kill the headline
+                secondary[fn.__name__ + "_error"] = f"{type(e).__name__}: {e}"[:200]
 
     out = {
         "metric": "scan_to_map_icp_fps_20k_30iter",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 100.0, 3),
-        "detail": {"per_frame_ms": round(dt * 1e3, 3), "trans_err_m": round(terr, 5), "device": str(jax.devices()[0])},
+        "detail": {**det1, "device": str(jax.devices()[0]), "secondary": secondary},
     }
     print(json.dumps(out))
 

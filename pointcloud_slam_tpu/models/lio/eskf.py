@@ -26,11 +26,18 @@ from . import state as st
 _H_COLS = 12  # measurement Jacobian covers pos/rot/ext_R/ext_t only
 
 
-def process_noise_cov(dtype=jnp.float32) -> jnp.ndarray:
-    """Default Q (12x12): gyro, accel, gyro-bias, accel-bias noise
-    (use-ikfom.hpp:21-33 defaults)."""
+def process_noise_cov(
+    dtype=jnp.float32,
+    gyr_cov: float = 1e-4,
+    acc_cov: float = 1e-4,
+    b_gyr_cov: float = 1e-5,
+    b_acc_cov: float = 1e-5,
+) -> jnp.ndarray:
+    """Q (12x12): gyro, accel, gyro-bias, accel-bias noise
+    (use-ikfom.hpp:21-33 defaults; overridable by the per-lidar YAML
+    mapping.acc_cov/gyr_cov/b_acc_cov/b_gyr_cov)."""
     d = jnp.concatenate(
-        [jnp.full(3, 1e-4), jnp.full(3, 1e-4), jnp.full(3, 1e-5), jnp.full(3, 1e-5)]
+        [jnp.full(3, gyr_cov), jnp.full(3, acc_cov), jnp.full(3, b_gyr_cov), jnp.full(3, b_acc_cov)]
     ).astype(dtype)
     return jnp.diag(d)
 
@@ -129,9 +136,15 @@ def update_iterated(
     the point-to-plane observation model; `do_search` mirrors the reference's
     `ekfom_data.converge` flag gating the NN re-search (laser_mapping.cc:618),
     `cache` carries correspondence state between iterations.
+
+    The initial cache is a zero-filled pytree of the correct structure
+    (obtained by abstract evaluation — no device compute); the first scan
+    iteration runs with do_search=True and performs the only initial search.
     """
     dtype = P0.dtype
-    cache0 = obs_fn(x0, jnp.asarray(True), None)[3]
+    # structure-only evaluation: never executes the search on device
+    cache_aval = jax.eval_shape(lambda x: obs_fn(x, jnp.asarray(True), None)[3], x0)
+    cache0 = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), cache_aval)
 
     def body(carry, it):
         x, done, do_search, t_conv, cache, P_out = carry

@@ -142,7 +142,7 @@ def icp_loop(cfg: ICPConfig, source: jnp.ndarray, init_pose: se3.Pose, search, p
     (pose, done, iters, coef, valid, H, _big), _ = jax.lax.scan(
         body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32)
     )
-    return pose, done, iters, H
+    return pose, done, iters, H, coef, valid
 
 
 @functools.partial(jax.jit, static_argnames=("grid_cfg", "cfg"))
@@ -164,10 +164,12 @@ def point_to_plane_icp(
         pw = pose.apply(source)
         return correspondences(cfg, grid_cfg, grid, pw, source_mask)
 
-    pose, done, iters, H = icp_loop(cfg, source, init_pose, search)
-    # final stats with a fresh search at the converged pose
-    _, _, err, ninl = _linearize(cfg, grid_cfg, grid, source, source_mask, pose)
-    return ICPResult(pose, done, iters, err, ninl, H)
+    pose, done, iters, H, coef, valid = icp_loop(cfg, source, init_pose, search)
+    # final stats from the last cached correspondences re-evaluated at the
+    # converged pose (the reference equally reports the last iteration's
+    # effective counts/residuals rather than re-searching)
+    _, _, err = _linearize_cached(coef, valid, pose.apply(source), source.dtype)
+    return ICPResult(pose, done, iters, err, jnp.sum(valid), H)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_cfg", "cfg"))
