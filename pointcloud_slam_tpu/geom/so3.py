@@ -70,7 +70,10 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     # Antisymmetric part gives axis*sin(theta); its norm is a far more accurate
     # sin(theta) near pi than arccos of the trace.
     axis_sin = 0.5 * vee(R - jnp.swapaxes(R, -1, -2))
-    sin_theta = jnp.linalg.norm(axis_sin, axis=-1)
+    # derivative-safe norm: ||x|| has a NaN gradient at x = 0 (the identity
+    # rotation) which poisons jacfwd-linearized factors; the epsilon shifts
+    # the value by < 1e-15 and keeps the tangent finite
+    sin_theta = jnp.sqrt(jnp.sum(axis_sin * axis_sin, axis=-1) + 1e-30)
     theta = jnp.arctan2(sin_theta, cos_theta)
     small = theta < 1e-5
     near_pi = theta > 3.0

@@ -1,11 +1,17 @@
-"""Pose-graph back-end: keyframe store + factors + GN with matrix-free PCG.
+"""Pose-graph back-end: (pose, vel, bias) keyframe nodes + factors + GN/PCG.
 
 Behavioral parity target (same factors and gating; solver re-designed):
   reference `src/jueying_slam/src/mapOptmization.cpp`
   - keyframe gating by motion thresholds (`saveKeyFramesAndFactor` :1637-1884),
   - `addOdomFactor` (:1658): between factors on consecutive keyframes,
   - `addGPSFactor` (:1678): position priors,
-  - `addLoopFactor` (:1757): loop-closure between factors,
+  - `addLoopFactor` (:1757): loop-closure between factors, with the SC loops
+    carrying a Cauchy robust kernel (mapOptmization.cpp:822-835) — realized
+    here as per-iteration IRLS reweighting w = c^2 / (c^2 + chi^2),
+  and `src/jueying_slam/src/imuPreintegration.cpp`
+  - the IMU factor graph over (pose, velocity, bias) nodes (:243-438):
+    gtsam ImuFactor -> the preintegrated-delta residual of
+    `models/lio/preintegration.py`, plus the bias random-walk BetweenFactor.
   - iSAM2 incremental smoothing -> replaced by batched Gauss-Newton over the
     whole graph with a Jacobi(block)-preconditioned conjugate-gradient solve
     of the normal equations. Matrix-free: H v is accumulated factor-by-factor
@@ -13,21 +19,29 @@ Behavioral parity target (same factors and gating; solver re-designed):
     (BASELINE.json's "sparse LM with PCG on the Schur complement" role).
   - `correctPoses` (:1886-1917): the solved poses rewrite the keyframe store.
 
-Between-factor linearization uses right perturbations with Jr^-1 ~ I and the
-exact SE(3) adjoint — the standard pose-graph GN approximation; outer GN
-iterations absorb the higher-order terms.
+Node tangent layout (15 dims): [rot 0:3, trans 3:6, vel 6:9, bg 9:12, ba 12:15]
+with right perturbations R' = R Exp(dr), t' = t + R dt. Between-factor
+linearization uses Jr^-1 ~ I and the exact SE(3) adjoint; the IMU factor is
+linearized per factor by forward-mode autodiff of the local residual (vmapped
+jacfwd over factors — small closed-form algebra, no sparse structure). Graphs
+with no IMU/bias factors reduce exactly to the round-1 pose-only behavior
+(vel/bias nodes are pinned by unit priors).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ...geom import se3, so3
+from ..lio import preintegration as pre
+
+D = 15          # node tangent dims
+RMAX = 9        # max residual rows per factor (IMU factor)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,41 +53,74 @@ class BackendConfig:
     keyframe_angle_thresh: float = 0.2     # rad (surroundingkeyframeAddingAngleThreshold)
     keyframe_dist_thresh: float = 1.0      # m  (surroundingkeyframeAddingDistThreshold)
     prior_info: float = 1e8                # gauge prior on node 0
+    loop_cauchy_c: float = 1.0             # robust kernel scale (whitened chi)
+    # default information of the bias random-walk between factor
+    # (1/sigma^2 of gtsam's biasAccOmegaInt-style walk over one keyframe gap)
+    bias_walk_info: float = 1e4
 
 
 class PoseGraph(NamedTuple):
     # nodes
     R: jnp.ndarray          # (KF, 3, 3)
     t: jnp.ndarray          # (KF, 3)
+    vel: jnp.ndarray        # (KF, 3) world-frame velocity
+    bg: jnp.ndarray         # (KF, 3) gyro bias
+    ba: jnp.ndarray         # (KF, 3) accel bias
     n: jnp.ndarray          # () int32 active keyframes
     # odometry between factor i-1 -> i (slot i; slot 0 unused)
     odom_R: jnp.ndarray     # (KF, 3, 3)
     odom_t: jnp.ndarray     # (KF, 3)
     odom_info: jnp.ndarray  # (KF, 6) diagonal information
+    # IMU preintegration factor i-1 -> i (slot i), gtsam ImuFactor role
+    imu_pim: pre.PreintegratedImu  # batched (KF, ...) preintegrated deltas
+    imu_info: jnp.ndarray   # (KF, 9) diagonal information [er, ev, ep]
+    imu_mask: jnp.ndarray   # (KF,) bool — slot has an IMU factor
+    bias_info: jnp.ndarray  # (KF, 6) bias random-walk information
     # loop factors i -> j
     loop_i: jnp.ndarray     # (L,)
     loop_j: jnp.ndarray     # (L,)
     loop_R: jnp.ndarray     # (L, 3, 3)
     loop_t: jnp.ndarray     # (L, 3)
     loop_info: jnp.ndarray  # (L, 6)
+    loop_robust: jnp.ndarray  # (L,) bool — apply the Cauchy kernel
     n_loops: jnp.ndarray    # ()
     # position priors (GPS)
     prior_mask: jnp.ndarray  # (KF,)
     prior_pos: jnp.ndarray   # (KF, 3)
     prior_info: jnp.ndarray  # (KF, 3)
+    grav: jnp.ndarray        # (3,) gravity vector for IMU factors
 
 
-def create(cfg: BackendConfig, dtype=jnp.float32) -> PoseGraph:
+def _empty_pim(KF: int, dtype) -> pre.PreintegratedImu:
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (KF, 3, 3))
+    z3 = jnp.zeros((KF, 3), dtype)
+    z33 = jnp.zeros((KF, 3, 3), dtype)
+    return pre.PreintegratedImu(
+        dR=eye, dv=z3, dp=z3, dt=jnp.zeros((KF,), dtype),
+        dR_dbg=z33, dv_dbg=z33, dv_dba=z33, dp_dbg=z33, dp_dba=z33,
+        bg0=z3, ba0=z3,
+    )
+
+
+def create(cfg: BackendConfig, dtype=jnp.float32, gravity: float = 9.81) -> PoseGraph:
     KF, L = cfg.max_keyframes, cfg.max_loops
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (KF, 3, 3))
     return PoseGraph(
-        R=eye, t=jnp.zeros((KF, 3), dtype), n=jnp.zeros((), jnp.int32),
+        R=eye, t=jnp.zeros((KF, 3), dtype),
+        vel=jnp.zeros((KF, 3), dtype), bg=jnp.zeros((KF, 3), dtype), ba=jnp.zeros((KF, 3), dtype),
+        n=jnp.zeros((), jnp.int32),
         odom_R=eye, odom_t=jnp.zeros((KF, 3), dtype), odom_info=jnp.zeros((KF, 6), dtype),
+        imu_pim=_empty_pim(KF, dtype),
+        imu_info=jnp.zeros((KF, 9), dtype),
+        imu_mask=jnp.zeros((KF,), bool),
+        bias_info=jnp.zeros((KF, 6), dtype),
         loop_i=jnp.zeros((L,), jnp.int32), loop_j=jnp.zeros((L,), jnp.int32),
         loop_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (L, 3, 3)), loop_t=jnp.zeros((L, 3), dtype),
-        loop_info=jnp.zeros((L, 6), dtype), n_loops=jnp.zeros((), jnp.int32),
+        loop_info=jnp.zeros((L, 6), dtype), loop_robust=jnp.zeros((L,), bool),
+        n_loops=jnp.zeros((), jnp.int32),
         prior_mask=jnp.zeros((KF,), bool), prior_pos=jnp.zeros((KF, 3), dtype),
         prior_info=jnp.zeros((KF, 3), dtype),
+        grav=jnp.asarray([0.0, 0.0, -gravity], dtype),
     )
 
 
@@ -86,26 +133,62 @@ def should_add_keyframe(cfg: BackendConfig, g: PoseGraph, R_new, t_new):
     return move | (g.n == 0)
 
 
-def add_keyframe(cfg: BackendConfig, g: PoseGraph, R_new, t_new, odom_info_diag=None) -> PoseGraph:
-    """Append a node + odometry between factor from the previous node."""
+def add_keyframe(
+    cfg: BackendConfig,
+    g: PoseGraph,
+    R_new,
+    t_new,
+    odom_info_diag=None,
+    vel_new=None,
+    pim: Optional[pre.PreintegratedImu] = None,
+    imu_info_diag=None,
+    bias_info_diag=None,
+) -> PoseGraph:
+    """Append a node + odometry between factor from the previous node.
+
+    When `pim` is given (the IMU preintegration over the gap since the last
+    keyframe), an IMU factor + bias random-walk factor are attached to this
+    slot — the imuPreintegration node's graph contribution
+    (imuPreintegration.cpp:243-438)."""
+    dtype = g.t.dtype
     if odom_info_diag is None:
-        odom_info_diag = jnp.full((6,), 1e4, g.t.dtype)
+        odom_info_diag = jnp.full((6,), 1e4, dtype)
     i = jnp.minimum(g.n, cfg.max_keyframes - 1)
     last = jnp.maximum(g.n - 1, 0)
     relR = jnp.swapaxes(g.R[last], -1, -2) @ R_new
     relt = jnp.einsum("ij,j->i", jnp.swapaxes(g.R[last], -1, -2), t_new - g.t[last])
     first = g.n == 0
-    return g._replace(
+    if vel_new is None:
+        vel_new = jnp.zeros(3, dtype)
+    g = g._replace(
         R=g.R.at[i].set(R_new),
         t=g.t.at[i].set(t_new),
-        odom_R=g.odom_R.at[i].set(jnp.where(first, jnp.eye(3, dtype=g.t.dtype), relR)),
-        odom_t=g.odom_t.at[i].set(jnp.where(first, jnp.zeros(3, g.t.dtype), relt)),
-        odom_info=g.odom_info.at[i].set(jnp.where(first, jnp.zeros(6, g.t.dtype), odom_info_diag)),
+        vel=g.vel.at[i].set(vel_new),
+        bg=g.bg.at[i].set(g.bg[last]),
+        ba=g.ba.at[i].set(g.ba[last]),
+        odom_R=g.odom_R.at[i].set(jnp.where(first, jnp.eye(3, dtype=dtype), relR)),
+        odom_t=g.odom_t.at[i].set(jnp.where(first, jnp.zeros(3, dtype), relt)),
+        odom_info=g.odom_info.at[i].set(jnp.where(first, jnp.zeros(6, dtype), odom_info_diag)),
         n=jnp.minimum(g.n + 1, cfg.max_keyframes),
     )
+    if pim is not None:
+        if imu_info_diag is None:
+            imu_info_diag = jnp.concatenate([
+                jnp.full((3,), 1e6, dtype), jnp.full((3,), 1e4, dtype), jnp.full((3,), 1e4, dtype)
+            ])
+        if bias_info_diag is None:
+            bias_info_diag = jnp.full((6,), cfg.bias_walk_info, dtype)
+        has = ~first
+        g = g._replace(
+            imu_pim=jax.tree.map(lambda a, b: a.at[i].set(b), g.imu_pim, pim),
+            imu_info=g.imu_info.at[i].set(jnp.where(has, imu_info_diag, 0.0)),
+            imu_mask=g.imu_mask.at[i].set(has),
+            bias_info=g.bias_info.at[i].set(jnp.where(has, bias_info_diag, 0.0)),
+        )
+    return g
 
 
-def add_loop(cfg: BackendConfig, g: PoseGraph, i, j, relR, relt, info_diag) -> PoseGraph:
+def add_loop(cfg: BackendConfig, g: PoseGraph, i, j, relR, relt, info_diag, robust=True) -> PoseGraph:
     k = jnp.minimum(g.n_loops, cfg.max_loops - 1)
     return g._replace(
         loop_i=g.loop_i.at[k].set(i),
@@ -113,11 +196,13 @@ def add_loop(cfg: BackendConfig, g: PoseGraph, i, j, relR, relt, info_diag) -> P
         loop_R=g.loop_R.at[k].set(relR),
         loop_t=g.loop_t.at[k].set(relt),
         loop_info=g.loop_info.at[k].set(info_diag),
+        loop_robust=g.loop_robust.at[k].set(jnp.asarray(robust, bool)),
         n_loops=jnp.minimum(g.n_loops + 1, cfg.max_loops),
     )
 
 
 def add_gps(g: PoseGraph, i, pos, info_diag) -> PoseGraph:
+    """Position prior on node i (addGPSFactor :1678)."""
     return g._replace(
         prior_mask=g.prior_mask.at[i].set(True),
         prior_pos=g.prior_pos.at[i].set(pos),
@@ -151,61 +236,117 @@ def _between_jacobians(Ri, ti, Rj, tj):
     return Ji
 
 
-def _graph_terms(cfg: BackendConfig, g: PoseGraph):
-    """Assemble per-factor (i, j, J_i, e, info) arrays for odometry + loops.
+def _pad_between(Ji6, F, dtype):
+    """Embed a (F, 6, 6) pose-block Jacobian into (F, RMAX, D) factor rows."""
+    Ji = jnp.zeros((F, RMAX, D), dtype)
+    Ji = Ji.at[:, 0:6, 0:6].set(Ji6)
+    Jj = jnp.zeros((F, RMAX, D), dtype)
+    Jj = Jj.at[:, 0:6, 0:6].set(jnp.broadcast_to(jnp.eye(6, dtype=dtype), (F, 6, 6)))
+    return Ji, Jj
 
-    Every between factor contributes rows [J_i | I] on nodes (i, j).
+
+def _imu_local_residual(dxi, dxj, Ri, ti, vi, bgi, bai, Rj, tj, vj, pim, grav):
+    """IMU factor residual under right perturbations of nodes i and j."""
+    Ri_ = Ri @ so3.exp(dxi[0:3])
+    ti_ = ti + Ri @ dxi[3:6]
+    vi_ = vi + dxi[6:9]
+    bgi_ = bgi + dxi[9:12]
+    bai_ = bai + dxi[12:15]
+    Rj_ = Rj @ so3.exp(dxj[0:3])
+    tj_ = tj + Rj @ dxj[3:6]
+    vj_ = vj + dxj[6:9]
+    return pre.residual(pim, Ri_, ti_, vi_, Rj_, tj_, vj_, bgi_, bai_, grav)
+
+
+def _graph_terms(cfg: BackendConfig, g: PoseGraph):
+    """Assemble the padded per-factor arrays over ALL factor families.
+
+    Returns (fi, fj, Ji (F, RMAX, D), Jj, e (F, RMAX), info (F, RMAX)).
+    Inactive rows carry zero information.
     """
     KF = cfg.max_keyframes
+    L = g.loop_i.shape[0]
     dtype = g.t.dtype
     idx = jnp.arange(KF)
-    # odometry factors at slots 1..n-1 (i = k-1, j = k)
+
+    # ---- odometry between factors (slots 1..n-1; i = k-1, j = k) ----
     o_act = (idx >= 1) & (idx < g.n)
     oi = jnp.maximum(idx - 1, 0)
     oj = idx
-    Ji_o = _between_jacobians(g.R[oi], g.t[oi], g.R[oj], g.t[oj])
-    e_o = _between_residual(g.R[oi], g.t[oi], g.R[oj], g.t[oj], g.odom_R, g.odom_t)
-    info_o = g.odom_info * o_act[:, None]
-    # loop factors
-    l_act = jnp.arange(g.loop_i.shape[0]) < g.n_loops
+    Ji6_o = _between_jacobians(g.R[oi], g.t[oi], g.R[oj], g.t[oj])
+    e6_o = _between_residual(g.R[oi], g.t[oi], g.R[oj], g.t[oj], g.odom_R, g.odom_t)
+    Ji_o, Jj_o = _pad_between(Ji6_o, KF, dtype)
+    e_o = jnp.zeros((KF, RMAX), dtype).at[:, 0:6].set(e6_o)
+    info_o = jnp.zeros((KF, RMAX), dtype).at[:, 0:6].set(g.odom_info * o_act[:, None])
+
+    # ---- loop between factors, Cauchy-robust IRLS weight ----
+    l_act = jnp.arange(L) < g.n_loops
     li, lj = g.loop_i, g.loop_j
-    Ji_l = _between_jacobians(g.R[li], g.t[li], g.R[lj], g.t[lj])
-    e_l = _between_residual(g.R[li], g.t[li], g.R[lj], g.t[lj], g.loop_R, g.loop_t)
-    info_l = g.loop_info * l_act[:, None]
-    fi = jnp.concatenate([oi, li])
-    fj = jnp.concatenate([oj, lj])
-    Ji = jnp.concatenate([Ji_o, Ji_l], axis=0)
-    e = jnp.concatenate([e_o, e_l], axis=0)
-    info = jnp.concatenate([info_o, info_l], axis=0)
-    return fi, fj, Ji, e, info
+    Ji6_l = _between_jacobians(g.R[li], g.t[li], g.R[lj], g.t[lj])
+    e6_l = _between_residual(g.R[li], g.t[li], g.R[lj], g.t[lj], g.loop_R, g.loop_t)
+    chi2 = jnp.sum(e6_l * e6_l * g.loop_info, axis=-1)
+    c2 = cfg.loop_cauchy_c ** 2
+    w_rob = jnp.where(g.loop_robust, c2 / (c2 + chi2), 1.0)
+    Ji_l, Jj_l = _pad_between(Ji6_l, L, dtype)
+    e_l = jnp.zeros((L, RMAX), dtype).at[:, 0:6].set(e6_l)
+    info_l = jnp.zeros((L, RMAX), dtype).at[:, 0:6].set(g.loop_info * (l_act * w_rob)[:, None])
+
+    # ---- IMU preintegration factors (slot k between k-1, k) ----
+    i_act = o_act & g.imu_mask
+    z15 = jnp.zeros((KF, D), dtype)
+    jac = jax.vmap(
+        jax.jacfwd(_imu_local_residual, argnums=(0, 1)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None),
+    )
+    Ji_i9, Jj_i9 = jac(
+        z15, z15,
+        g.R[oi], g.t[oi], g.vel[oi], g.bg[oi], g.ba[oi],
+        g.R[oj], g.t[oj], g.vel[oj], g.imu_pim, g.grav,
+    )
+    e9_i = jax.vmap(pre.residual, in_axes=(0,) * 9 + (None,))(
+        g.imu_pim, g.R[oi], g.t[oi], g.vel[oi], g.R[oj], g.t[oj], g.vel[oj],
+        g.bg[oi], g.ba[oi], g.grav,
+    )
+    info_i = g.imu_info * i_act[:, None]
+
+    # ---- bias random-walk between factors ----
+    e6_b = jnp.concatenate([g.bg[oj] - g.bg[oi], g.ba[oj] - g.ba[oi]], axis=-1)
+    Ji_b = jnp.zeros((KF, RMAX, D), dtype).at[:, 0:6, 9:15].set(
+        jnp.broadcast_to(-jnp.eye(6, dtype=dtype), (KF, 6, 6))
+    )
+    Jj_b = jnp.zeros((KF, RMAX, D), dtype).at[:, 0:6, 9:15].set(
+        jnp.broadcast_to(jnp.eye(6, dtype=dtype), (KF, 6, 6))
+    )
+    e_b = jnp.zeros((KF, RMAX), dtype).at[:, 0:6].set(e6_b)
+    info_b = jnp.zeros((KF, RMAX), dtype).at[:, 0:6].set(g.bias_info * i_act[:, None])
+
+    fi = jnp.concatenate([oi, li, oi, oi])
+    fj = jnp.concatenate([oj, lj, oj, oj])
+    Ji = jnp.concatenate([Ji_o, Ji_l, Ji_i9, Ji_b], axis=0)
+    Jj = jnp.concatenate([Jj_o, Jj_l, Jj_i9, Jj_b], axis=0)
+    e = jnp.concatenate([e_o, e_l, e9_i, e_b], axis=0)
+    info = jnp.concatenate([info_o, info_l, info_i, info_b], axis=0)
+    return fi, fj, Ji, Jj, e, info
 
 
-def _hv(cfg, g, fi, fj, Ji, info, prior_diag, v):
-    """Matrix-free H @ v over all factors. v (KF, 6) -> (KF, 6)."""
-    vi = v[fi]
-    vj = v[fj]
-    # factor row value: J_i v_i + I v_j
-    fv = jnp.einsum("fab,fb->fa", Ji, vi) + vj
+def _hv(fi, fj, Ji, Jj, info, prior_diag, v):
+    """Matrix-free H @ v over all factors. v (KF, D) -> (KF, D)."""
+    fv = jnp.einsum("fab,fb->fa", Ji, v[fi]) + jnp.einsum("fab,fb->fa", Jj, v[fj])
     w = info * fv
     out = jnp.zeros_like(v)
-    out = out.at[fj].add(w)
     out = out.at[fi].add(jnp.einsum("fba,fb->fa", Ji, w))
+    out = out.at[fj].add(jnp.einsum("fba,fb->fa", Jj, w))
     return out + prior_diag * v
 
 
-def _precond_blocks(cfg, g, fi, fj, Ji, info, prior_diag):
-    """Block-diagonal of H (KF, 6, 6) and its inverse."""
-    KF = cfg.max_keyframes
-    dtype = g.t.dtype
-    JtWJ_i = jnp.einsum("fba,fb,fbc->fac", Ji, info, Ji)
-    blocks = jnp.zeros((KF, 6, 6), dtype)
-    blocks = blocks.at[fi].add(JtWJ_i)
-    diag_j = jax.vmap(jnp.diag)(info)
-    blocks = blocks.at[fj].add(diag_j)
+def _precond_blocks(KF, dtype, fi, fj, Ji, Jj, info, prior_diag):
+    """Block-diagonal of H (KF, D, D) inverse (Jacobi-block preconditioner)."""
+    blocks = jnp.zeros((KF, D, D), dtype)
+    blocks = blocks.at[fi].add(jnp.einsum("fba,fb,fbc->fac", Ji, info, Ji))
+    blocks = blocks.at[fj].add(jnp.einsum("fba,fb,fbc->fac", Jj, info, Jj))
     blocks = blocks + jax.vmap(jnp.diag)(prior_diag)
-    blocks = blocks + 1e-6 * jnp.eye(6, dtype=dtype)
-    inv = jnp.linalg.inv(blocks)
-    return inv
+    blocks = blocks + 1e-6 * jnp.eye(D, dtype=dtype)
+    return jnp.linalg.inv(blocks)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -213,37 +354,52 @@ def optimize(cfg: BackendConfig, g: PoseGraph) -> PoseGraph:
     """Batch GN over the whole graph (the correctPoses moment).
 
     Node 0 carries a huge prior (gauge); inactive slots get unit priors so H
-    stays non-singular without affecting active nodes.
+    stays non-singular without affecting active nodes. Velocity/bias blocks of
+    nodes untouched by any IMU factor are pinned the same way, so odom-only
+    graphs reproduce the pose-only solve exactly.
     """
     KF = cfg.max_keyframes
     dtype = g.t.dtype
     idx = jnp.arange(KF)
     active = idx < jnp.maximum(g.n, 1)
+    # a node's vel/bias are observable iff an IMU factor touches it
+    imu_next = jnp.concatenate([g.imu_mask[1:], jnp.zeros((1,), bool)])
+    vb_obs = active & (g.imu_mask | imu_next)
 
     def gn_step(g, _):
-        fi, fj, Ji, e, info = _graph_terms(cfg, g)
-        prior_diag = jnp.where(
-            (idx == 0)[:, None], cfg.prior_info, jnp.where(active[:, None], 0.0, 1.0)
-        ) * jnp.ones((KF, 6), dtype)
-        # gps position priors add to the translation block
-        gpsw = jnp.concatenate([jnp.zeros((KF, 3), dtype), g.prior_info * g.prior_mask[:, None]], axis=1)
+        fi, fj, Ji, Jj, e, info = _graph_terms(cfg, g)
+        pose_prior = jnp.where((idx == 0) & active, cfg.prior_info, jnp.where(active, 0.0, 1.0))
+        vb_prior = jnp.where(
+            (idx == 0) & active, jnp.maximum(cfg.prior_info * 1e-4, 1.0), jnp.where(vb_obs, 0.0, 1.0)
+        )
+        prior_diag = jnp.concatenate(
+            [
+                jnp.repeat(pose_prior[:, None], 6, axis=1),
+                jnp.repeat(vb_prior[:, None], 9, axis=1),
+            ],
+            axis=1,
+        )
+        # gps position priors add to the translation block (rows 3:6)
+        gpsw3 = g.prior_info * g.prior_mask[:, None]
+        gpsw = jnp.zeros((KF, D), dtype).at[:, 3:6].set(gpsw3)
         prior_diag = prior_diag + gpsw
 
         # b = sum_f J^T W e  (+ gps residual terms)
         w_e = info * e
-        b = jnp.zeros((KF, 6), dtype)
-        b = b.at[fj].add(w_e)
+        b = jnp.zeros((KF, D), dtype)
         b = b.at[fi].add(jnp.einsum("fba,fb->fa", Ji, w_e))
-        gps_r = jnp.einsum("kij,kj->ki", jnp.swapaxes(g.R, -1, -2), g.prior_pos - g.t)  # body-frame position error
-        b = b - gpsw * jnp.concatenate([jnp.zeros((KF, 3), dtype), gps_r], axis=1)
+        b = b.at[fj].add(jnp.einsum("fba,fb->fa", Jj, w_e))
+        # gps residual r = R^T (p_gps - t) under t' = t + R dt -> J_dt = -I
+        gps_r = jnp.einsum("kij,kj->ki", jnp.swapaxes(g.R, -1, -2), g.prior_pos - g.t)
+        b = b - gpsw * jnp.zeros((KF, D), dtype).at[:, 3:6].set(gps_r)
 
-        Minv = _precond_blocks(cfg, g, fi, fj, Ji, info, prior_diag)
+        Minv = _precond_blocks(KF, dtype, fi, fj, Ji, Jj, info, prior_diag)
 
         def hv(v):
-            return _hv(cfg, g, fi, fj, Ji, info, prior_diag, v)
+            return _hv(fi, fj, Ji, Jj, info, prior_diag, v)
 
         # PCG on H dx = -b
-        x = jnp.zeros((KF, 6), dtype)
+        x = jnp.zeros((KF, D), dtype)
         r = -b - hv(x)
         z = jnp.einsum("kab,kb->ka", Minv, r)
         p = z
@@ -265,9 +421,12 @@ def optimize(cfg: BackendConfig, g: PoseGraph) -> PoseGraph:
         (dx, r, p, rz), _ = jax.lax.scan(pcg, (x, r, p, rz), None, length=cfg.pcg_iterations)
         dx = jnp.where(active[:, None], dx, 0.0)
         # right-multiplicative retraction per node
-        R_new = g.R @ so3.exp(dx[:, :3])
-        t_new = g.t + jnp.einsum("kij,kj->ki", g.R, dx[:, 3:])
-        return g._replace(R=R_new, t=t_new), None
+        R_new = g.R @ so3.exp(dx[:, 0:3])
+        t_new = g.t + jnp.einsum("kij,kj->ki", g.R, dx[:, 3:6])
+        vel_new = g.vel + dx[:, 6:9]
+        bg_new = g.bg + dx[:, 9:12]
+        ba_new = g.ba + dx[:, 12:15]
+        return g._replace(R=R_new, t=t_new, vel=vel_new, bg=bg_new, ba=ba_new), None
 
     g, _ = jax.lax.scan(gn_step, g, None, length=cfg.gn_iterations)
     return g

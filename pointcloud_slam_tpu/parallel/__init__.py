@@ -1,6 +1,7 @@
 """Multi-device parallelism: mesh helpers + sharded registration/backends."""
 
 from .mesh import make_mesh
+from .sharded_backend import sharded_optimize
 from .sharded_icp import sharded_point_to_plane_icp
 
-__all__ = ["make_mesh", "sharded_point_to_plane_icp"]
+__all__ = ["make_mesh", "sharded_point_to_plane_icp", "sharded_optimize"]

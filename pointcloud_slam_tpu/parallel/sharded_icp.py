@@ -48,7 +48,7 @@ def sharded_point_to_plane_icp(
                 pw = pose.apply(src_i)
                 return icp_mod.correspondences(cfg, grid_cfg, grid_local, pw, mask_i)
 
-            pose, done, iters, _H = icp_mod.icp_loop(cfg, src_i, se3.Pose(R0_i, t0_i), search, psum_axis="sp")
+            pose, done, iters, _H, _coef, _valid = icp_mod.icp_loop(cfg, src_i, se3.Pose(R0_i, t0_i), search, psum_axis="sp")
             return pose.R, pose.t, done, iters
 
         return jax.vmap(one)(src, mask, R0, t0)

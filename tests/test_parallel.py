@@ -42,3 +42,27 @@ def test_sharded_icp_matches_single_device():
         np.testing.assert_allclose(np.asarray(pose.R[b]), np.asarray(ref.pose.R), atol=1e-2)
         # and against ground truth
         np.testing.assert_allclose(np.asarray(pose.t[b]), poses_t[b], atol=5e-2)
+
+
+class TestShardedBackend:
+    def test_matches_single_device_solve(self):
+        """Factor-sharded PCG must agree with the single-device backend."""
+        import numpy as np
+        from pointcloud_slam_tpu import parallel
+        from pointcloud_slam_tpu.models.liosam import backend as bk
+
+        cfg = bk.BackendConfig(max_keyframes=64, max_loops=8, gn_iterations=4, pcg_iterations=40)
+        rng = np.random.default_rng(0)
+        g = bk.create(cfg)
+        t_true = np.cumsum(rng.normal(0, 0.5, (40, 3)).astype(np.float32), axis=0)
+        for k in range(40):
+            noise = rng.normal(0, 0.02, 3).astype(np.float32)
+            g = bk.add_keyframe(cfg, g, jnp.eye(3), jnp.asarray(t_true[k] + noise))
+        g = bk.add_loop(cfg, g, jnp.asarray(2), jnp.asarray(30), jnp.eye(3),
+                        jnp.asarray(t_true[30] - t_true[2]), jnp.full((6,), 1e3), robust=True)
+
+        single = bk.optimize(cfg, g)
+        mesh = parallel.make_mesh(8)
+        sharded = parallel.sharded_optimize(mesh, cfg, g)
+        np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(sharded.R), np.asarray(single.R), atol=2e-4)
