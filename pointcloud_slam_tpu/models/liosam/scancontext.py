@@ -50,7 +50,9 @@ def make_descriptor(cfg: ScanContextConfig, points: jnp.ndarray, mask: jnp.ndarr
     flat = jnp.where(ok, ring * S + sector, R * S)
     desc = jnp.full((R * S,), -1.0e9, points.dtype).at[flat].max(z, mode="drop")
     desc = jnp.where(desc < -1.0e8, 0.0, desc).reshape(R, S)
-    ring_key = jnp.mean((desc != 0).astype(points.dtype), axis=1)
+    # ring key = per-ring mean of bin values (Scancontext.cpp:198-211
+    # makeRingkeyFromScancontext: curr_row.mean() including empty bins)
+    ring_key = jnp.mean(desc, axis=1)
     return desc, ring_key
 
 

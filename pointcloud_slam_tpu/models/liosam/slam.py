@@ -1,4 +1,4 @@
-"""Full LIO-SAM style SLAM: scan-to-map odometry + keyframes + ScanContext
+"""Full LIO-SAM style SLAM: scan-to-map odometry + keyframes + dual-channel
 loop closure + pose-graph optimization + map correction, one jitted step.
 
 Behavioral parity target (the mapOptimization node's main loop):
@@ -6,11 +6,16 @@ Behavioral parity target (the mapOptimization node's main loop):
   - `laserCloudInfoHandler` (:356-405): per-frame scan-to-map matching
     against the surrounding-keyframe local map,
   - `saveKeyFramesAndFactor` (:1779-1884): motion-gated keyframe creation,
-    odometry factor, ScanContext descriptor persistence,
-  - `performSCLoopClosure` (:735-841): SC candidate -> registration
-    verification -> fitness gate -> loop factor (the reference's RS loop
-    `detectLoopClosureDistance` is subsumed: radius candidates fall out of the
-    same ring-key search),
+    odometry factor, optional IMU preintegration factor
+    (imuPreintegration.cpp:243-438) and GPS factor with the reference's
+    gating (`addGPSFactor` :1678-1754: covariance gate + 5 m spacing),
+  - TWO loop channels, as in the reference:
+    * RS: radius search over z-flattened keyposes
+      (`detectLoopClosureDistance` :843-880) verified by NDT
+      (`performLoopClosure` :683-731) with a plain diagonal noise,
+    * SC: ScanContext candidate (`performSCLoopClosure` :735-841) verified by
+      ICP with a **Cauchy-robust** noise model (:822-835) — realized as the
+      backend's IRLS robust weight,
   - `correctPoses` (:1886-1917): after optimization all keyframe poses are
     rewritten and the local map is rebuilt from corrected keyframes (the
     reference's laserCloudMapContainer cache is a rebuild too).
@@ -32,6 +37,7 @@ import jax.numpy as jnp
 
 from ... import ops, register
 from ...geom import se3, so3
+from ..lio import preintegration as pre
 from . import backend as bk
 from . import scan2map as s2m
 from . import scancontext as sc
@@ -45,6 +51,9 @@ class SLAMConfig:
     loop_icp: register.ICPConfig = dataclasses.field(
         default_factory=lambda: register.ICPConfig(solver=register.SolverConfig(max_iterations=15))
     )
+    loop_ndt: register.NDTConfig = dataclasses.field(
+        default_factory=lambda: register.NDTConfig(solver=register.SolverConfig(max_iterations=15))
+    )
     loop_fitness_thresh: float = 0.3   # historyKeyframeFitnessScore
     local_window: int = 16             # keyframes rebuilt into the local map
     n_corner: int = 512                # stored corner points per keyframe
@@ -52,6 +61,15 @@ class SLAMConfig:
     loop_grid: ops.GridConfig = dataclasses.field(
         default_factory=lambda: ops.GridConfig(capacity=1 << 13, pts_per_voxel=8, resolution=0.5, nearby=7)
     )
+    # RS loop channel (detectLoopClosureDistance :843-880)
+    rs_loop: bool = True
+    rs_radius: float = 10.0            # historyKeyframeSearchRadius
+    rs_exclude_recent: int = 30        # index-gap stand-in for the 30 s time gate
+    rs_verify: str = "ndt"             # reference verifies RS loops with pclomp NDT
+    # GPS gating (addGPSFactor :1678-1754)
+    gps_cov_thresh: float = 2.0        # gpsCovThreshold
+    gps_dist: float = 5.0              # minimum spacing between GPS factors [m]
+    use_gps_elevation: bool = False    # useGpsElevation
 
 
 class SLAMState(NamedTuple):
@@ -66,6 +84,7 @@ class SLAMState(NamedTuple):
     sc_keys: jnp.ndarray         # (KF, R)
     pose: se3.Pose               # current odometry pose
     n_loops_found: jnp.ndarray
+    last_gps: jnp.ndarray        # (3,) position of the last added GPS factor
 
 
 class SLAMOutput(NamedTuple):
@@ -92,6 +111,7 @@ def create_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
         sc_keys=jnp.zeros((KF, R), dtype),
         pose=se3.identity(dtype),
         n_loops_found=jnp.zeros((), jnp.int32),
+        last_gps=jnp.full((3,), 1.0e9, dtype),
     )
 
 
@@ -120,6 +140,47 @@ def _rebuild_maps(cfg: SLAMConfig, state: SLAMState, graph: bk.PoseGraph):
     return corner_map, surf_map
 
 
+def _rs_detect(cfg: SLAMConfig, graph: bk.PoseGraph, k, pose_t):
+    """RS loop candidate: nearest OLD keypose within rs_radius on the
+    z-flattened 2-D keyposes (detectLoopClosureDistance :843-880; the
+    reference's 30 s time gate becomes an index gap)."""
+    KF = cfg.backend.max_keyframes
+    idx = jnp.arange(KF)
+    d2 = jnp.sum((graph.t[:, :2] - pose_t[:2][None, :]) ** 2, axis=1)
+    eligible = idx < (graph.n - cfg.rs_exclude_recent)
+    d2 = jnp.where(eligible, d2, 3.0e38)
+    j = jnp.argmin(d2).astype(jnp.int32)
+    found = d2[j] < cfg.rs_radius ** 2
+    return jnp.where(found, j, -1), found
+
+
+def _verify_loop(cfg: SLAMConfig, state: SLAMState, j, pose, surf_pts, surf_mask, yaw, method: str):
+    """Register the current scan against keyframe j's cloud (in j's frame).
+
+    Returns (rel pose j<-current, fitness, converged)."""
+    dtype = surf_pts.dtype
+    tgt = state.kf_surf[j]
+    tgt_m = state.kf_surf_mask[j]
+    # init: current pose expressed in the matched keyframe's frame,
+    # with the SC yaw as the initial rotation guess
+    Rj, tj = state.graph.R[j], state.graph.t[j]
+    R_rel = Rj.T @ pose.R
+    t_rel = Rj.T @ (pose.t - tj)
+    R_yaw = so3.exp(jnp.asarray([0.0, 0.0, 1.0], dtype) * (-yaw))
+    init = se3.Pose(R_yaw @ R_rel, t_rel)
+    loop_map = ops.insert(cfg.loop_grid, ops.create(cfg.loop_grid, dtype), tgt, tgt_m)
+    if method == "ndt":
+        gmap = register.ndt.build_target(cfg.loop_ndt, tgt, tgt_m, capacity=cfg.loop_grid.capacity)
+        res = register.ndt.align(gmap[0], gmap[1], surf_pts, surf_mask, init, cfg=cfg.loop_ndt)
+        pose_rel, conv = res.pose, res.converged
+    else:
+        res = register.point_to_plane_icp(cfg.loop_grid, loop_map, surf_pts, surf_mask, init, cfg=cfg.loop_icp)
+        pose_rel, conv = res.pose, res.converged
+    pw = pose_rel.apply(surf_pts)
+    fitness, _ = register.fitness_score(cfg.loop_grid, loop_map, pw, surf_mask, max_range=1.0)
+    return pose_rel, fitness, conv
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def slam_step(
     cfg: SLAMConfig,
@@ -129,6 +190,11 @@ def slam_step(
     surf_pts: jnp.ndarray,     # (3, Ns)
     surf_mask: jnp.ndarray,
     odom_guess: Optional[se3.Pose] = None,  # e.g. IMU/LIO incremental pose
+    pim: Optional[pre.PreintegratedImu] = None,  # IMU preintegration since last keyframe
+    vel_guess: Optional[jnp.ndarray] = None,     # (3,) velocity estimate for the new node
+    gps_pos: Optional[jnp.ndarray] = None,       # (3,) GPS position measurement
+    gps_cov: Optional[jnp.ndarray] = None,       # (3,) GPS covariance diagonal
+    gps_valid: Optional[jnp.ndarray] = None,     # () bool
 ):
     dtype = surf_pts.dtype
     init_pose = odom_guess if odom_guess is not None else state.pose
@@ -145,8 +211,26 @@ def slam_step(
     is_kf = bk.should_add_keyframe(cfg.backend, state.graph, pose.R, pose.t)
 
     def add_kf(state):
-        graph = bk.add_keyframe(cfg.backend, state.graph, pose.R, pose.t)
+        graph = bk.add_keyframe(
+            cfg.backend, state.graph, pose.R, pose.t,
+            vel_new=vel_guess, pim=pim,
+        )
         k = graph.n - 1
+
+        # ---- GPS factor with the reference's gating ----
+        needs_opt_gps = jnp.zeros((), bool)
+        if gps_pos is not None:
+            cov = gps_cov if gps_cov is not None else jnp.full((3,), 1e-2, dtype)
+            ok = (gps_valid if gps_valid is not None else jnp.ones((), bool)) \
+                & (jnp.max(cov[:2]) < cfg.gps_cov_thresh) \
+                & (jnp.linalg.norm(gps_pos - state.last_gps) > cfg.gps_dist)
+            info = 1.0 / jnp.maximum(cov, 1e-4)
+            if not cfg.use_gps_elevation:
+                info = info.at[2].set(1e-6)  # z unconstrained (useGpsElevation=false)
+            graph = jax.lax.cond(ok, lambda g: bk.add_gps(g, k, gps_pos, info), lambda g: g, graph)
+            state = state._replace(last_gps=jnp.where(ok, gps_pos, state.last_gps))
+            needs_opt_gps = ok
+
         desc, key = sc.make_descriptor(cfg.scancontext, surf_pts, surf_mask)
         state = state._replace(
             graph=graph,
@@ -158,44 +242,53 @@ def slam_step(
             sc_keys=state.sc_keys.at[k].set(key),
         )
 
-        # ---- loop closure: SC detect -> ICP verify -> factor ----
-        cand = sc.detect(cfg.scancontext, desc, key, state.sc_descs, state.sc_keys, graph.n)
+        # ---- dual-channel loop closure ----
+        cand_sc = sc.detect(cfg.scancontext, desc, key, state.sc_descs, state.sc_keys, graph.n)
+        if cfg.rs_loop:
+            rs_j, rs_found = _rs_detect(cfg, graph, k, pose.t)
+        else:
+            rs_j, rs_found = jnp.asarray(-1, jnp.int32), jnp.zeros((), bool)
+        use_sc = cand_sc.found
+        cand_j = jnp.where(use_sc, cand_sc.index, rs_j)
+        cand_yaw = jnp.where(use_sc, cand_sc.yaw, 0.0)
+        cand_found = use_sc | rs_found
 
         def verify(state):
-            j = jnp.maximum(cand.index, 0)
-            # target: matched keyframe's surf cloud in ITS local frame
-            tgt = state.kf_surf[j]
-            tgt_m = state.kf_surf_mask[j]
-            loop_map = ops.insert(cfg.loop_grid, ops.create(cfg.loop_grid, dtype), tgt, tgt_m)
-            # init: current pose expressed in the matched keyframe's frame,
-            # with the SC yaw as the initial rotation guess
-            Rj, tj = state.graph.R[j], state.graph.t[j]
-            R_rel = Rj.T @ pose.R
-            t_rel = Rj.T @ (pose.t - tj)
-            R_yaw = so3.exp(jnp.asarray([0.0, 0.0, 1.0], dtype) * (-cand.yaw))
-            init = se3.Pose(R_yaw @ R_rel, t_rel)
-            icp_res = register.point_to_plane_icp(
-                cfg.loop_grid, loop_map, surf_pts, surf_mask, init, cfg=cfg.loop_icp
-            )
-            pw = icp_res.pose.apply(surf_pts)
-            fitness, _ = register.fitness_score(cfg.loop_grid, loop_map, pw, surf_mask, max_range=1.0)
-            good = (fitness < cfg.loop_fitness_thresh) & icp_res.converged
+            j = jnp.maximum(cand_j, 0)
+            # SC loops verify by ICP with a Cauchy-robust factor; RS loops by
+            # NDT with a plain diagonal (mapOptmization.cpp:683-731, 822-835).
+            # Both verifications run only when their channel fired; lax.cond
+            # selects between them (same output structure).
+            def run_sc(_):
+                return _verify_loop(cfg, state, j, pose, surf_pts, surf_mask, cand_yaw, "icp")
+
+            def run_rs(_):
+                return _verify_loop(cfg, state, j, pose, surf_pts, surf_mask, cand_yaw, cfg.rs_verify)
+
+            pose_rel, fitness, conv = jax.lax.cond(use_sc, run_sc, run_rs, None)
+            good = (fitness < cfg.loop_fitness_thresh) & conv
 
             def add(state):
                 info = jnp.full((6,), 1.0 / jnp.maximum(fitness, 1e-3), dtype)
-                graph2 = bk.add_loop(cfg.backend, state.graph, j, k, icp_res.pose.R, icp_res.pose.t, info)
-                graph2 = bk.optimize(cfg.backend, graph2)
-                cmap, smap = _rebuild_maps(cfg, state, graph2)
-                return state._replace(
-                    graph=graph2, corner_map=cmap, surf_map=smap,
-                    n_loops_found=state.n_loops_found + 1,
+                graph2 = bk.add_loop(
+                    cfg.backend, state.graph, j, k, pose_rel.R, pose_rel.t, info, robust=use_sc
                 )
+                return state._replace(graph=graph2, n_loops_found=state.n_loops_found + 1)
 
             return jax.lax.cond(good, add, lambda s: s, state), good
 
-        state, looped = jax.lax.cond(cand.found, verify, lambda s: (s, jnp.zeros((), bool)), state)
+        state, looped = jax.lax.cond(cand_found, verify, lambda s: (s, jnp.zeros((), bool)), state)
 
-        # no loop: roll the current keyframe's features into the local maps
+        # ---- optimize + correct poses when the graph changed shape ----
+        def reoptimize(state):
+            graph2 = bk.optimize(cfg.backend, state.graph)
+            cmap, smap = _rebuild_maps(cfg, state, graph2)
+            return state._replace(graph=graph2, corner_map=cmap, surf_map=smap)
+
+        needs_opt = looped | needs_opt_gps
+        state = jax.lax.cond(needs_opt, reoptimize, lambda s: s, state)
+
+        # no correction: roll the current keyframe's features into the local maps
         def roll_in(state):
             pc = pose.apply(corner_pts)
             ps = pose.apply(surf_pts)
@@ -203,23 +296,23 @@ def slam_step(
             smap = ops.insert(cfg.scan2map.surf_grid, state.surf_map, ps, surf_mask)
             return state._replace(corner_map=cmap, surf_map=smap)
 
-        state = jax.lax.cond(looped, lambda s: s, roll_in, state)
-        return state, looped, cand.index
+        state = jax.lax.cond(needs_opt, lambda s: s, roll_in, state)
+        return state, needs_opt, jnp.where(looped, cand_j, -1)
 
     def no_kf(state):
         return state, jnp.zeros((), bool), jnp.asarray(-1, jnp.int32)
 
-    state, looped, loop_idx = jax.lax.cond(is_kf, add_kf, no_kf, state)
+    state, corrected, loop_idx = jax.lax.cond(is_kf, add_kf, no_kf, state)
     # corrected pose after optimization
     kf_i = jnp.maximum(state.graph.n - 1, 0)
     pose_corr = jax.tree.map(
-        lambda a, b: jnp.where(looped, b, a), pose, se3.Pose(state.graph.R[kf_i], state.graph.t[kf_i])
+        lambda a, b: jnp.where(corrected, b, a), pose, se3.Pose(state.graph.R[kf_i], state.graph.t[kf_i])
     )
     state = state._replace(pose=pose_corr)
     out = SLAMOutput(
         pose=pose_corr,
         is_keyframe=is_kf,
-        loop_detected=looped,
+        loop_detected=loop_idx >= 0,
         loop_index=loop_idx,
         degenerate=res.degenerate,
         num_surf_matches=res.num_surf,
