@@ -47,34 +47,58 @@ def build_config(args):
     if args.config_file:
         y = cfgio.load_yaml(args.config_file)
         m = y.get("mapping", y)
-        if "filter_size_surf" in m:
-            kw["scan_leaf"] = float(m["filter_size_surf"])
-        if "filter_size_map" in m:
-            kw["map_leaf"] = float(m["filter_size_map"])
-        if "max_iteration" in m:
-            kw["max_iterations"] = int(m["max_iteration"])
-        if "ivox_grid_resolution" in m:
-            grid_kw["resolution"] = float(m["ivox_grid_resolution"])
+        top = y
+        # top-level scalars live beside the sections in the per-lidar YAMLs
+        def pick(key, section=None):
+            src = section if section is not None else top
+            return src.get(key, top.get(key))
+
+        if pick("filter_size_surf") is not None:
+            kw["scan_leaf"] = float(pick("filter_size_surf"))
+        if pick("filter_size_map") is not None:
+            kw["map_leaf"] = float(pick("filter_size_map"))
+        if pick("max_iteration") is not None:
+            kw["max_iterations"] = int(pick("max_iteration"))
+        if pick("esti_plane_threshold") is not None:
+            kw["plane_threshold"] = float(pick("esti_plane_threshold"))
+        if pick("ivox_grid_resolution") is not None:
+            grid_kw["resolution"] = float(pick("ivox_grid_resolution"))
+        if pick("ivox_nearby_type") is not None:
+            grid_kw["nearby"] = {6: 7, 18: 19, 26: 27}.get(int(pick("ivox_nearby_type")), 7)
         if "extrinsic_est_en" in m:
             kw["extrinsic_est"] = bool(m["extrinsic_est_en"])
+        for src_k, dst_k in [("acc_cov", "acc_cov"), ("gyr_cov", "gyr_cov"),
+                             ("b_acc_cov", "b_acc_cov"), ("b_gyr_cov", "b_gyr_cov")]:
+            if src_k in m:
+                kw[dst_k] = float(m[src_k])
+        if "extrinsic_T" in m:
+            kw["extrinsic_T"] = tuple(float(v) for v in m["extrinsic_T"])
+        if "extrinsic_R" in m:
+            kw["extrinsic_R"] = tuple(float(v) for v in m["extrinsic_R"])
     if grid_kw:
-        kw["grid"] = ops.GridConfig(capacity=1 << 17, pts_per_voxel=8, nearby=7, **grid_kw)
+        kw["grid"] = ops.GridConfig(capacity=1 << 17, pts_per_voxel=8, **{"nearby": 7, **grid_kw})
     return lio.LIOConfig(**kw)
 
 
 def frames_from_dir(args):
-    from pointcloud_slam_tpu.io import feed, pcd
+    """Replay frame_%06d.pcd + imu.csv. Per-point time offsets come from the
+    PCD's own fields when present (time/t/timestamp/curvature/ring synthesis,
+    converters.point_times_from_cloud) — the reference reads them from the
+    vendor point type (pointcloud_preprocess.cc:89-305); a linear ramp over
+    the scan duration is the last-resort fallback for timestamp-less dumps."""
+    from pointcloud_slam_tpu.io import converters, feed, pcd
 
     imu = np.loadtxt(os.path.join(args.data_dir, "imu.csv"), delimiter=",")
     frame_files = sorted(f for f in os.listdir(args.data_dir) if f.startswith("frame_") and f.endswith(".pcd"))
     scan_times = np.loadtxt(os.path.join(args.data_dir, "scan_times.txt"))
     for k, name in enumerate(frame_files):
-        pts = pcd.read_pcd_xyz(os.path.join(args.data_dir, name))
+        cloud = pcd.read_pcd(os.path.join(args.data_dir, name))
+        pts = np.stack([cloud["x"], cloud["y"], cloud["z"]], axis=1).astype(np.float32)
         t0 = scan_times[k]
         t1 = scan_times[k + 1] if k + 1 < len(scan_times) else t0 + 0.1
         sel = (imu[:, 0] > t0) & (imu[:, 0] <= t1)
         chunk = imu[sel]
-        t_offs = np.full(len(pts), t1 - t0, np.float32)
+        t_offs = converters.point_times_from_cloud(cloud, scan_duration=float(t1 - t0))
         yield feed.make_frame(
             pts, t_offs, chunk[:, 1:4].astype(np.float32), chunk[:, 4:7].astype(np.float32),
             (chunk[:, 0] - t0).astype(np.float32), args.n_points, args.n_imu,

@@ -61,20 +61,26 @@ def read_pcd_xyz(path: str) -> np.ndarray:
     return np.stack([d["x"], d["y"], d["z"]], axis=1).astype(np.float32)
 
 
-def write_pcd(path: str, points: np.ndarray, intensity: Optional[np.ndarray] = None, binary: bool = True):
-    """Write (N, 3) xyz [+ intensity] as PCD v0.7."""
+def write_pcd(path: str, points: np.ndarray, intensity: Optional[np.ndarray] = None, binary: bool = True,
+              extra_fields: Optional[Dict[str, np.ndarray]] = None):
+    """Write (N, 3) xyz [+ intensity] [+ extra float32 fields, e.g. per-point
+    `time` offsets for deskew replay] as PCD v0.7."""
     n = len(points)
-    fields = "x y z" + (" intensity" if intensity is not None else "")
-    nf = 4 if intensity is not None else 3
+    names = ["x", "y", "z"] + (["intensity"] if intensity is not None else [])
+    cols = [points.astype(np.float32)]
+    if intensity is not None:
+        cols.append(intensity.astype(np.float32)[:, None])
+    for name, arr in (extra_fields or {}).items():
+        names.append(name)
+        cols.append(np.asarray(arr, np.float32)[:, None])
+    nf = len(names)
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
-        f"FIELDS {fields}\nSIZE {' '.join(['4'] * nf)}\nTYPE {' '.join(['F'] * nf)}\n"
+        f"FIELDS {' '.join(names)}\nSIZE {' '.join(['4'] * nf)}\nTYPE {' '.join(['F'] * nf)}\n"
         f"COUNT {' '.join(['1'] * nf)}\nWIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
         f"POINTS {n}\nDATA {'binary' if binary else 'ascii'}\n"
     )
-    data = points.astype(np.float32)
-    if intensity is not None:
-        data = np.concatenate([data, intensity.astype(np.float32)[:, None]], axis=1)
+    data = np.concatenate(cols, axis=1)
     with open(path, "wb") as f:
         f.write(header.encode())
         if binary:

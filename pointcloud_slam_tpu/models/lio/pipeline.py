@@ -48,6 +48,16 @@ class LIOConfig:
     init_imu_frames: int = 2         # frames of IMU averaging before start (~20 samples)
     gravity: float = s2.GRAVITY
     extrinsic_est: bool = False      # extrinsic_est_en
+    # IMU noise (mapping.acc_cov/gyr_cov/b_*_cov in the per-lidar YAMLs,
+    # reference use-ikfom.hpp process noise)
+    gyr_cov: float = 1e-4
+    acc_cov: float = 1e-4
+    b_gyr_cov: float = 1e-5
+    b_acc_cov: float = 1e-5
+    # lidar->IMU extrinsics (mapping.extrinsic_T / extrinsic_R, row-major);
+    # tuples keep the dataclass hashable for static-arg jit
+    extrinsic_T: tuple = (0.0, 0.0, 0.0)
+    extrinsic_R: tuple = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
 
 
 class LIOState(NamedTuple):
@@ -89,8 +99,13 @@ class LIOOutput(NamedTuple):
 
 
 def create_state(cfg: LIOConfig, dtype=jnp.float32) -> LIOState:
+    x0 = st.identity(dtype, cfg.gravity)
+    x0 = x0._replace(
+        ext_R=jnp.asarray(cfg.extrinsic_R, dtype).reshape(3, 3),
+        ext_t=jnp.asarray(cfg.extrinsic_T, dtype),
+    )
     return LIOState(
-        x=st.identity(dtype, cfg.gravity),
+        x=x0,
         P=eskf.init_P(dtype),
         grid=ops.create(cfg.grid, dtype),
         initialized=jnp.zeros((), bool),
@@ -188,7 +203,7 @@ def _map_incremental(cfg: LIOConfig, grid, x: st.NavState, pts_body, mask, nbrs,
 def lio_step(cfg: LIOConfig, s: LIOState, frame: LIOFrame):
     """Process one sensor frame. Returns (new_state, LIOOutput)."""
     dtype = s.P.dtype
-    Q = eskf.process_noise_cov(dtype)
+    Q = eskf.process_noise_cov(dtype, cfg.gyr_cov, cfg.acc_cov, cfg.b_gyr_cov, cfg.b_acc_cov)
 
     # ---- IMU initialization accumulation (imu_processing.hpp IMUInit) ----
     accum = ~s.initialized
