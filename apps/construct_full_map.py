@@ -32,6 +32,9 @@ def main():
     p.add_argument("--occupancy", default="", help="also save occupancy map at this path prefix")
     p.add_argument("--occ_size", type=int, default=1024)
     p.add_argument("--occ_res", type=float, default=0.1)
+    p.add_argument("--floor_labels", default="", help="file with one integer floor label per "
+                   "keyframe: one occupancy map per floor (OccupancyServerFromFile :445-595; "
+                   "label 0 saves without a suffix, negative labels are skipped)")
     args = p.parse_args()
 
     from pointcloud_slam_tpu import ops
@@ -77,19 +80,34 @@ def main():
         cfg = occupancy.OccupancyConfig(
             size=args.occ_size, resolution=args.occ_res, origin=-args.occ_size * args.occ_res / 2
         )
-        grid = occupancy.create(cfg)
         step = jax.jit(lambda g, pts, m, xy: occupancy.insert_cloud(cfg, g, pts, m, xy, jnp.zeros(())))
         NP = 1 << 15
-        for k, name in enumerate(frames):
-            pts = pcdio.read_pcd_xyz(os.path.join(args.keyframe_dir, name))
-            R, t = poses[k, :, :3], poses[k, :, 3]
-            w = (pts @ R.T + t).astype(np.float32)[:NP]
-            pad = NP - len(w)
-            arr = jnp.asarray(np.concatenate([w, np.zeros((pad, 3), np.float32)]).T)
-            mask = jnp.asarray(np.concatenate([np.ones(len(w), bool), np.zeros(pad, bool)]))
-            grid = step(grid, arr, mask, jnp.asarray(t[:2], jnp.float32))
-        occupancy.save_pgm(cfg, grid, args.occupancy)
-        print(f"occupancy map -> {args.occupancy}.pgm/.yaml")
+
+        # group keyframes by floor label (multi-floor offline maps,
+        # OccupancyServerFromFile :445-595): each non-negative label builds its
+        # own map; label 0 keeps the bare output name
+        if args.floor_labels:
+            labels = np.loadtxt(args.floor_labels, dtype=np.int64).reshape(-1)
+            groups = {}
+            for k in range(min(len(frames), len(labels))):
+                if labels[k] >= 0:
+                    groups.setdefault(int(labels[k]), []).append(k)
+        else:
+            groups = {0: list(range(len(frames)))}
+
+        for label, idxs in sorted(groups.items()):
+            grid = occupancy.create(cfg)
+            for k in idxs:
+                pts = pcdio.read_pcd_xyz(os.path.join(args.keyframe_dir, frames[k]))
+                R, t = poses[k, :, :3], poses[k, :, 3]
+                w = (pts @ R.T + t).astype(np.float32)[:NP]
+                pad = NP - len(w)
+                arr = jnp.asarray(np.concatenate([w, np.zeros((pad, 3), np.float32)]).T)
+                mask = jnp.asarray(np.concatenate([np.ones(len(w), bool), np.zeros(pad, bool)]))
+                grid = step(grid, arr, mask, jnp.asarray(t[:2], jnp.float32))
+            out = args.occupancy + ("" if label == 0 else str(label))
+            occupancy.save_pgm(cfg, grid, out)
+            print(f"occupancy map (floor {label}, {len(idxs)} keyframes) -> {out}.pgm/.yaml")
 
 
 if __name__ == "__main__":

@@ -47,6 +47,10 @@ class OccupancyConfig:
     logodd_max: float = 10.0
     occ_thresh: float = 0.65         # map_server occupied threshold
     free_thresh: float = 0.196       # map_server free threshold
+    # white-fill beams with no return out to max_range (the reference's
+    # use_nan option, mapping_server.cc processScan); False = skip them, so
+    # unobserved directions never clear cells behind unseen geometry
+    use_nan: bool = False
 
 
 class OccupancyGrid(NamedTuple):
@@ -76,18 +80,29 @@ def cloud_to_scan(cfg: OccupancyConfig, points: jnp.ndarray, mask: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def insert_scan(cfg: OccupancyConfig, grid: OccupancyGrid, ranges: jnp.ndarray, pose_xy, pose_yaw):
+def insert_scan(cfg: OccupancyConfig, grid: OccupancyGrid, ranges: jnp.ndarray, pose_xy, pose_yaw,
+                origin=None):
     """Log-odds update from a virtual scan at pose (x, y, yaw).
 
     Free cells along each beam (DDA at half-resolution steps), occupied cell
     at each hit. Matches processScan (mapping_server.cc:346-382).
+
+    `origin` (2,) overrides the static cfg.origin — the tiled large-world map
+    reuses ONE compiled kernel for every tile by passing each tile's world
+    origin at runtime (the quadtree extendMap role, occupancy_map.hpp:114-149).
     """
     B = cfg.n_beams
     size, res = cfg.size, cfg.resolution
     dtype = grid.logodds.dtype
+    if origin is None:
+        ox = jnp.asarray(cfg.origin, dtype)
+        oy = jnp.asarray(cfg.origin, dtype)
+    else:
+        ox, oy = origin[0], origin[1]
     angles = (jnp.arange(B, dtype=dtype) + 0.5) * (2 * jnp.pi / B) - jnp.pi + pose_yaw
     hit = jnp.isfinite(ranges)
     r = jnp.where(hit, ranges, cfg.max_range)
+    beam_used = hit | jnp.asarray(cfg.use_nan)
     dirx, diry = jnp.cos(angles), jnp.sin(angles)
 
     # DDA free-space sampling: steps at half-resolution up to just short of r
@@ -96,9 +111,9 @@ def insert_scan(cfg: OccupancyConfig, grid: OccupancyGrid, ranges: jnp.ndarray, 
     along = jnp.minimum(step, (r - res)[:, None])
     fx = pose_xy[0] + dirx[:, None] * along
     fy = pose_xy[1] + diry[:, None] * along
-    free_ok = (step <= (r - res)[:, None])
-    ci = jnp.floor((fx - cfg.origin) / res).astype(jnp.int32)
-    cj = jnp.floor((fy - cfg.origin) / res).astype(jnp.int32)
+    free_ok = (step <= (r - res)[:, None]) & beam_used[:, None]
+    ci = jnp.floor((fx - ox) / res).astype(jnp.int32)
+    cj = jnp.floor((fy - oy) / res).astype(jnp.int32)
     inb = (ci >= 0) & (ci < size) & (cj >= 0) & (cj < size) & free_ok
     flat = jnp.where(inb, ci * size + cj, size * size)
     # dedup per beam: consecutive duplicate cells add once (first occurrence)
@@ -110,8 +125,8 @@ def insert_scan(cfg: OccupancyConfig, grid: OccupancyGrid, ranges: jnp.ndarray, 
     # occupied cells at hits
     hx = pose_xy[0] + dirx * r
     hy = pose_xy[1] + diry * r
-    oi = jnp.floor((hx - cfg.origin) / res).astype(jnp.int32)
-    oj = jnp.floor((hy - cfg.origin) / res).astype(jnp.int32)
+    oi = jnp.floor((hx - ox) / res).astype(jnp.int32)
+    oj = jnp.floor((hy - oy) / res).astype(jnp.int32)
     oin = hit & (oi >= 0) & (oi < size) & (oj >= 0) & (oj < size)
     oflat = jnp.where(oin, oi * size + oj, size * size)
     lo = lo.at[oflat].add(cfg.logodd_occ, mode="drop")
@@ -120,7 +135,8 @@ def insert_scan(cfg: OccupancyConfig, grid: OccupancyGrid, ranges: jnp.ndarray, 
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def insert_cloud(cfg: OccupancyConfig, grid: OccupancyGrid, points: jnp.ndarray, mask: jnp.ndarray, pose_xy, pose_yaw):
+def insert_cloud(cfg: OccupancyConfig, grid: OccupancyGrid, points: jnp.ndarray, mask: jnp.ndarray, pose_xy, pose_yaw,
+                 origin=None):
     """Convenience: sensor cloud (already in world frame, pose for the ray
     origin) -> scan -> log-odds update."""
     # convert to sensor-relative ranges/angles around pose
@@ -131,7 +147,7 @@ def insert_cloud(cfg: OccupancyConfig, grid: OccupancyGrid, points: jnp.ndarray,
     ry = s * rel[0] + c * rel[1]
     sens = jnp.stack([rx, ry, points[2]], axis=0)
     ranges = cloud_to_scan(cfg, sens, mask)
-    return insert_scan(cfg, grid, ranges, pose_xy, pose_yaw)
+    return insert_scan(cfg, grid, ranges, pose_xy, pose_yaw, origin)
 
 
 def to_probability(cfg: OccupancyConfig, grid: OccupancyGrid) -> jnp.ndarray:
@@ -174,8 +190,9 @@ def load_pgm(path: str):
     return grid, meta
 
 
-def save_pgm(cfg: OccupancyConfig, grid: OccupancyGrid, path: str):
+def save_pgm(cfg: OccupancyConfig, grid: OccupancyGrid, path: str, origin=None):
     """PGM + YAML export, map_server conventions (saveMap :252-344)."""
+    ox, oy = (cfg.origin, cfg.origin) if origin is None else (float(origin[0]), float(origin[1]))
     p = np.asarray(to_probability(cfg, grid))
     unknown = np.asarray(grid.logodds) == 0.0
     img = np.full(p.shape, 205, np.uint8)  # unknown gray
@@ -189,6 +206,6 @@ def save_pgm(cfg: OccupancyConfig, grid: OccupancyGrid, path: str):
     with open(path + ".yaml", "w") as f:
         f.write(
             f"image: {path}.pgm\nresolution: {cfg.resolution}\n"
-            f"origin: [{cfg.origin}, {cfg.origin}, 0.0]\nnegate: 0\n"
+            f"origin: [{ox}, {oy}, 0.0]\nnegate: 0\n"
             f"occupied_thresh: {cfg.occ_thresh}\nfree_thresh: {cfg.free_thresh}\n"
         )
