@@ -13,6 +13,8 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <functional>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -231,6 +233,66 @@ int oracle_icp_point_to_plane(const double* target, int nt, const double* source
     if (step < 1e-6) break;
   }
   return 1;
+}
+
+// Scan-to-map odometry replay oracle: the minimal LaserMapping::Run loop
+// (reference app/run_mapping_offline.cc driving laser_mapping.cc) without the
+// IMU — each frame is registered to the accumulated map by point-to-plane ICP
+// and appended with voxel-occupancy gating (MapIncremental's density-bound
+// role). Produces the reference trajectory for ATE gating of the TPU LIO.
+//
+// frames: (F * ns * 3) sensor-frame scans. poses_out: (F * 12) row-major
+// [R | t] world<-sensor per frame. Returns number of frames processed.
+int oracle_scan_to_map_replay(const double* frames, int F, int ns, int iters,
+                              double max_corr, double map_leaf, int max_map,
+                              double* poses_out) {
+  std::vector<double> map_pts;
+  map_pts.reserve((size_t)max_map * 3);
+  // simple voxel-occupancy set for insert gating
+  struct Key {
+    int64_t v;
+    bool operator==(const Key& o) const { return v == o.v; }
+  };
+  struct KeyHash {
+    size_t operator()(const Key& k) const { return std::hash<int64_t>()(k.v); }
+  };
+  std::unordered_set<Key, KeyHash> occ;
+  auto key_of = [&](double x, double y, double z) {
+    int64_t cx = (int64_t)std::floor(x / map_leaf);
+    int64_t cy = (int64_t)std::floor(y / map_leaf);
+    int64_t cz = (int64_t)std::floor(z / map_leaf);
+    return Key{(cx * 73856093LL) ^ (cy * 19349669LL) ^ (cz * 83492791LL)};
+  };
+  auto insert_world = [&](const double* p) {
+    if ((int)(map_pts.size() / 3) >= max_map) return;
+    Key k = key_of(p[0], p[1], p[2]);
+    if (occ.count(k)) return;
+    occ.insert(k);
+    map_pts.push_back(p[0]);
+    map_pts.push_back(p[1]);
+    map_pts.push_back(p[2]);
+  };
+
+  double R[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+  double t[3] = {0, 0, 0};
+  std::vector<double> pw(ns * 3);
+  for (int f = 0; f < F; ++f) {
+    const double* scan = frames + (size_t)f * ns * 3;
+    if (f > 0) {
+      if (!oracle_icp_point_to_plane(map_pts.data(), (int)(map_pts.size() / 3),
+                                     scan, ns, iters, max_corr, R, t))
+        return f;
+    }
+    for (int i = 0; i < ns; ++i) {
+      const double* p = scan + 3 * i;
+      for (int r = 0; r < 3; ++r)
+        pw[3 * i + r] = R[r * 3 + 0] * p[0] + R[r * 3 + 1] * p[1] + R[r * 3 + 2] * p[2] + t[r];
+      insert_world(pw.data() + 3 * i);
+    }
+    std::memcpy(poses_out + (size_t)f * 12, R, 9 * sizeof(double));
+    std::memcpy(poses_out + (size_t)f * 12 + 9, t, 3 * sizeof(double));
+  }
+  return F;
 }
 
 // Symmetric 3x3 eigenvalues (ascending), Jacobi iteration.

@@ -50,6 +50,11 @@ def lib() -> ctypes.CDLL:
         L.oracle_icp_point_to_plane.argtypes = [dp, ctypes.c_int, dp, ctypes.c_int, ctypes.c_int, ctypes.c_double, dp, dp]
         L.oracle_eigh3.restype = None
         L.oracle_eigh3.argtypes = [dp, dp]
+        L.oracle_scan_to_map_replay.restype = ctypes.c_int
+        L.oracle_scan_to_map_replay.argtypes = [
+            dp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int, dp,
+        ]
         L.ingest_create.restype = ctypes.c_void_p
         L.ingest_create.argtypes = [ctypes.c_int, ctypes.c_int]
         L.ingest_destroy.argtypes = [ctypes.c_void_p]
@@ -107,6 +112,25 @@ def icp_point_to_plane(target: np.ndarray, source: np.ndarray, iters: int = 30,
         _dptr(target), len(target), _dptr(source), len(source), iters, max_corr, _dptr(R), _dptr(t)
     )
     return R, t, bool(ok)
+
+
+def scan_to_map_replay(frames: np.ndarray, iters: int = 15, max_corr: float = 2.0,
+                       map_leaf: float = 0.2, max_map: int = 50_000):
+    """C++ reference odometry replay (the run_mapping_offline.cc role without
+    the IMU): frames (F, N, 3) sensor-frame scans -> (R (F,3,3), t (F,3)).
+
+    Used as the trajectory oracle: the TPU scan-to-map odometry must land
+    within tolerance of this trajectory (the BASELINE "ATE within 1% of the
+    C++ reference" stand-in until recorded data is wired in)."""
+    frames = np.ascontiguousarray(frames, np.float64)
+    F, N, _ = frames.shape
+    poses = np.zeros((F, 12), np.float64)
+    done = lib().oracle_scan_to_map_replay(
+        _dptr(frames), F, N, iters, max_corr, map_leaf, max_map, _dptr(poses))
+    assert done == F, f"oracle replay stopped at frame {done}"
+    R = poses[:, :9].reshape(F, 3, 3)
+    t = poses[:, 9:12]
+    return R, t
 
 
 def eigh3(a6: np.ndarray) -> np.ndarray:
