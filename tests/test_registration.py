@@ -136,3 +136,35 @@ class TestNDTD2D:
         rot_err, trans_err = pose_errors(res.pose, R, t)
         assert rot_err < 1.5, f"rot {rot_err}"
         assert trans_err < 0.15, f"trans {trans_err}"
+
+
+class TestRBFCovariances:
+    def test_rbf_matches_knn_covariances_in_alignment(self):
+        """RBF-kernel covariance estimation (covariance_estimation_rbf.cu
+        role): VGICP with RBF source covariances must recover the same pose
+        as the k-NN covariance path."""
+        import numpy as np
+        from pointcloud_slam_tpu import register
+        from pointcloud_slam_tpu.io import synthetic
+
+        world = synthetic.make_room_cloud(12_000, seed=7)
+        R, t = synthetic.random_pose(seed=8, rot_scale=0.04, trans_scale=0.2)
+        src = ((world[:6000] - t) @ R).astype(np.float32).T
+        src_j = jnp.asarray(np.ascontiguousarray(src))
+        mask = jnp.ones(src_j.shape[1], bool)
+
+        cfg = register.VGICPConfig(resolution=0.8)
+        grid_cfg, target = register.vgicp.build_target(cfg, jnp.asarray(world.T))
+
+        cov_knn = register.source_covariances(src_j, mask, k=8, resolution=0.8)
+        cov_rbf = register.source_covariances_rbf(src_j, mask, resolution=0.8, kernel_width=0.4)
+
+        r1 = register.vgicp.align(grid_cfg, target, src_j, cov_knn, mask, cfg=cfg)
+        r2 = register.vgicp.align(grid_cfg, target, src_j, cov_rbf, mask, cfg=cfg)
+        e1 = float(np.linalg.norm(np.asarray(r1.pose.t) - t))
+        e2 = float(np.linalg.norm(np.asarray(r2.pose.t) - t))
+        # voxelized D2D on this sparse synthetic converges to ~voxel/8 — the
+        # point is that BOTH covariance modes land in the same basin around
+        # the true pose (the reference's RBF mode is likewise an
+        # approximation of the k-NN covariances, not bit-equal to them)
+        assert e1 < 0.15 and e2 < 0.15, (e1, e2)
