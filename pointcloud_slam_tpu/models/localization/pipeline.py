@@ -35,6 +35,13 @@ class LocalizationConfig:
     fitness_range: float = 1.0
     ndt: register.NDTConfig = dataclasses.field(default_factory=lambda: register.NDTConfig(resolution=1.0))
     scan2map: s2m.Scan2MapConfig = dataclasses.field(default_factory=s2m.Scan2MapConfig)
+    # minimum matched-point fraction before declaring loss (the reference's
+    # effective-point gate in laserCloudInfoHandler :424-476)
+    min_matched_frac: float = 0.3
+    # NDT degeneracy flag threshold on the max Hessian eigenvalue; the RAW
+    # value is also exported in `max_eigen` for an external judge, matching
+    # how the reference publishes getMaxEigen (ndt_omp.h:209-223)
+    degeneracy_eigen_thresh: float = 10.0
 
 
 class LocalizationResult(NamedTuple):
@@ -43,6 +50,7 @@ class LocalizationResult(NamedTuple):
     matched_frac: jnp.ndarray
     lost: jnp.ndarray         # fitness gate failed -> relocalize needed
     degenerate: jnp.ndarray
+    max_eigen: jnp.ndarray    # raw NDT Hessian max-eigenvalue (0 for LOAM)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "grid_cfg"))
@@ -65,8 +73,8 @@ def localize_loam(
         cfg.scan2map.surf_grid, surf_map, pw, surf_mask, max_range=cfg.fitness_range
     )
     frac = n_matched / jnp.maximum(jnp.sum(surf_mask), 1)
-    lost = (fitness > cfg.fitness_thresh) | (frac < 0.3)
-    return LocalizationResult(res.pose, fitness, frac, lost, res.degenerate)
+    lost = (fitness > cfg.fitness_thresh) | (frac < cfg.min_matched_frac)
+    return LocalizationResult(res.pose, fitness, frac, lost, res.degenerate, jnp.zeros((), pw.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "ndt_grid_cfg", "point_grid_cfg"))
@@ -84,8 +92,9 @@ def localize_ndt(
     pw = res.pose.apply(pts)
     fitness, n_matched = register.fitness_score(point_grid_cfg, point_map, pw, mask, max_range=cfg.fitness_range)
     frac = n_matched / jnp.maximum(jnp.sum(mask), 1)
-    lost = (fitness > cfg.fitness_thresh) | (frac < 0.3)
-    return LocalizationResult(res.pose, fitness, frac, lost, res.max_eigen < 10.0)
+    lost = (fitness > cfg.fitness_thresh) | (frac < cfg.min_matched_frac)
+    return LocalizationResult(res.pose, fitness, frac, lost,
+                              res.max_eigen < cfg.degeneracy_eigen_thresh, res.max_eigen)
 
 
 def relocalize(result: LocalizationResult, fallback_pose: se3.Pose) -> se3.Pose:

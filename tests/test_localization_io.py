@@ -70,3 +70,39 @@ class TestLocalizationNDT:
         fb = se3.Pose(jnp.asarray(R), jnp.asarray(t))
         p = localization.relocalize(res_bad, fb)
         np.testing.assert_allclose(np.asarray(p.t), t, atol=1e-6)
+
+
+class TestOdomFeed:
+    """UKF external-odom + GPS init feeds (localization.cpp:482-520)."""
+
+    def test_ukf_feed_lever_arm_and_latest_wins(self):
+        from pointcloud_slam_tpu.io import odom_feed
+
+        # two messages; 90-degree yaw at t=1 so the lever arm rotates
+        rows = np.array([
+            [0.0, 1.0, 2.0, 0.5, 1.0, 0.0, 0.0, 0.0],
+            [1.0, 4.0, 5.0, 0.5, np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)],
+        ])
+        feed = odom_feed.UkfOdomFeed(rows, lever_arm=(1.0, 0.0, 0.0))
+        assert feed.initial_pose_at(-0.5) is None  # before first message
+        pos, yaw = feed.initial_pose_at(0.5)
+        np.testing.assert_allclose(pos, [2.0, 2.0, 0.5], atol=1e-6)
+        assert abs(yaw) < 1e-6
+        pos, yaw = feed.initial_pose_at(10.0)  # latest message wins
+        np.testing.assert_allclose(pos, [4.0, 6.0, 0.5], atol=1e-6)
+        assert abs(yaw - np.pi / 2) < 1e-6
+
+    def test_gps_init_gate(self):
+        from pointcloud_slam_tpu.io import odom_feed
+
+        # good fix
+        pos = odom_feed.gps_init_position((10.0, 20.0, 1.0), (0.001, 0.001))
+        np.testing.assert_allclose(pos, [10.0, 20.0, 1.0], atol=1e-6)
+        # covariance gate (>= 0.003 rejected, localization.cpp:507)
+        assert odom_feed.gps_init_position((10.0, 20.0, 1.0), (0.003, 0.001)) is None
+        # zero fix rejected
+        assert odom_feed.gps_init_position((0.0, 0.0, 1.0), (0.001, 0.001)) is None
+        # lever arm applied through the quaternion
+        q = (np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4))  # 90-deg yaw
+        pos = odom_feed.gps_init_position((10.0, 20.0, 1.0), (0.001, 0.001), quat=q, lever_arm=(1.0, 0.0, 0.0))
+        np.testing.assert_allclose(pos, [10.0, 21.0, 1.0], atol=1e-6)
