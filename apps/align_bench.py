@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Side-by-side registration benchmark — the fast_gicp align.cpp role.
+
+Behavioral parity target: `src/pointcloud_match/fast_gicp/src/align.cpp:22-106`
+and `ndt_omp/apps/align.cpp`: run every registration family on the same
+source/target pair, print single-shot and repeated timings plus the fitness
+score — the cross-algorithm correctness oracle of the reference README tables
+(fast_gicp/README.md:96-123, ndt_omp/README.md:6-44).
+
+Input: --target/--source PCDs, or a synthetic pair. Output: a table like
+  algorithm        single(ms)   avg10(ms)    fitness
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--target", default="")
+    p.add_argument("--source", default="")
+    p.add_argument("--n_points", type=int, default=17_000, help="~align.cpp's KITTI pair size")
+    p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--leaf", type=float, default=0.1)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from pointcloud_slam_tpu import ops, register
+    from pointcloud_slam_tpu.io import pcd as pcdio, synthetic
+
+    if args.target:
+        tgt = pcdio.read_pcd_xyz(args.target)
+        src = pcdio.read_pcd_xyz(args.source)
+        n = min(len(tgt), len(src), args.n_points)
+        rngl = np.random.default_rng(0)
+        tgt = tgt[rngl.choice(len(tgt), n, replace=False)]
+        src = src[rngl.choice(len(src), n, replace=False)]
+        gt_t = None
+    else:
+        world = synthetic.make_room_cloud(40_000, seed=0)
+        R, t = synthetic.random_pose(seed=1, rot_scale=0.05, trans_scale=0.3)
+        rngl = np.random.default_rng(0)
+        tgt = world[rngl.choice(len(world), args.n_points, replace=False)]
+        src = ((world[rngl.choice(len(world), args.n_points, replace=False)] - t) @ R)
+        gt_t = t
+    tgt_j = jnp.asarray(np.ascontiguousarray(tgt.T.astype(np.float32)))
+    src_j = jnp.asarray(np.ascontiguousarray(src.T.astype(np.float32)))
+    mask = jnp.ones(src_j.shape[1], bool)
+
+    fit_grid = ops.GridConfig(capacity=1 << 16, pts_per_voxel=8, resolution=0.5, nearby=7)
+    _, fit_map = register.build_target_map(tgt_j, grid_cfg=fit_grid)
+
+    def fitness(pose):
+        pw = pose.apply(src_j)
+        f, _ = register.fitness_score(fit_grid, fit_map, pw, mask, max_range=1.0)
+        return float(f)
+
+    rows = []
+
+    def run(name, solve):
+        pose = solve()  # compile + warm
+        jax.block_until_ready(pose.t)
+        t0 = time.perf_counter()
+        pose = solve()
+        _ = np.asarray(pose.t)
+        single = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            pose = solve()
+            _ = np.asarray(pose.t)
+        avg = (time.perf_counter() - t0) / args.reps * 1e3
+        err = "" if gt_t is None else f"  terr={np.linalg.norm(np.asarray(pose.t) - gt_t):.4f}"
+        rows.append((name, single, avg, fitness(pose), err))
+        print(f"{name:26s} {single:9.2f} ms {avg:9.2f} ms   fitness {rows[-1][3]:.4f}{err}")
+
+    icp_cfg = register.ICPConfig(solver=register.SolverConfig(max_iterations=30))
+    run("point_to_plane_icp", lambda: register.point_to_plane_icp(fit_grid, fit_map, src_j, cfg=icp_cfg).pose)
+
+    ncfg = register.NDTConfig(resolution=1.0)
+    ng, nmap = register.ndt.build_target(ncfg, tgt_j, capacity=1 << 15)
+    run("ndt_p2d", lambda: register.ndt.align(ng, nmap, src_j, cfg=ncfg).pose)
+
+    # D2D NDT (NDTCuda role)
+    sm, sc, sv, _cnt = register.ndt.voxelize_source(ncfg, src_j)
+    run("ndt_d2d", lambda: register.ndt.align_d2d(ng, nmap, sm, sc, sv, cfg=ncfg).pose)
+
+    vcfg = register.VGICPConfig(resolution=1.0)
+    vg, vmap = register.vgicp.build_target(vcfg, tgt_j, capacity=1 << 15)
+    cov_knn = register.source_covariances(src_j, mask, k=8, resolution=1.0)
+    run("vgicp (knn cov)", lambda: register.vgicp.align(vg, vmap, src_j, cov_knn, mask, cfg=vcfg).pose)
+
+    cov_rbf = register.source_covariances_rbf(src_j, mask, resolution=1.0, kernel_width=0.5)
+    run("vgicp (rbf cov)", lambda: register.vgicp.align(vg, vmap, src_j, cov_rbf, mask, cfg=vcfg).pose)
+
+    gcfg = register.GICPConfig()
+    ggrid_cfg, ggrid, gatt = register.gicp.build_target(gcfg, tgt_j)
+    run("gicp", lambda: register.gicp.align(ggrid_cfg, ggrid, gatt, src_j, cov_knn, mask, cfg=gcfg).pose)
+
+    print("\nalgorithm                    single       avg%d      fitness" % args.reps)
+    for name, single, avg, f, err in rows:
+        print(f"{name:26s} {single:9.2f} {avg:9.2f}   {f:.4f}{err}")
+
+
+if __name__ == "__main__":
+    main()

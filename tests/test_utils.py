@@ -86,3 +86,31 @@ class TestTimer:
         assert lines[0] == "stage_a,stage_b"
         assert len(lines) == 3  # header + 2 rows (stage_b has 2 entries)
         Timer.reset()
+
+
+class TestLogging:
+    def test_glog_prefix_and_levels(self, capsys):
+        from pointcloud_slam_tpu.utils import log
+
+        lg = log.get_logger("test")
+        lg.info("hello")
+        lg.warning("watch out")
+        err = capsys.readouterr().err
+        assert "hello" in err and "watch out" in err
+        # glog-style single-letter severities
+        assert err.splitlines()[0].startswith("I")
+        assert err.splitlines()[1].startswith("W")
+
+    def test_debug_channels(self, tmp_path):
+        from pointcloud_slam_tpu.utils import log
+
+        dbg = log.DebugChannels(str(tmp_path), enabled=["effect_points"])
+        # disabled channel is a no-op
+        dbg.publish("loop_constraints", 0, pairs=np.zeros((2, 2)))
+        dbg.publish("effect_points", 3, pts=np.ones((3, 4), np.float32))
+        dbg.close()
+        files = sorted(f.name for f in tmp_path.iterdir())
+        assert files == ["effect_points_000000.npz"]
+        with np.load(tmp_path / files[0]) as z:
+            assert int(z["_frame"]) == 3
+            assert z["pts"].shape == (3, 4)
