@@ -185,7 +185,11 @@ class TestBackend:
         # loop factor: node n-1 -> node 0 with the TRUE relative pose
         relR = gt_R[-1].T @ gt_R[0]
         relt = gt_R[-1].T @ (gt_t[0] - gt_t[-1])
-        g = backend.add_loop(cfg, g, jnp.asarray(n - 1), jnp.asarray(0), jnp.asarray(relR), jnp.asarray(relt), jnp.full(6, 1e4, jnp.float32))
+        # robust=False: this is a trusted ground-truth loop with very high
+        # information (1e4); the Cauchy IRLS weight is for fitness-scaled loop
+        # factors (variance ~0.5 as in the reference) and would nearly zero a
+        # factor whose initial whitened residual is ~50
+        g = backend.add_loop(cfg, g, jnp.asarray(n - 1), jnp.asarray(0), jnp.asarray(relR), jnp.asarray(relt), jnp.full(6, 1e4, jnp.float32), robust=False)
         g2 = backend.optimize(cfg, g)
         err_after = np.linalg.norm(np.asarray(g2.t[:n]) - gt_t, axis=1)
         drift_after = err_after[-1]
