@@ -49,6 +49,16 @@ class GridConfig:
     resolution: float = 0.5          # voxel edge length (m)
     probe: int = 8                   # linear-probe window
     nearby: int = 7                  # stencil: 1, 7, 19 or 27 voxels
+    # baked mode: the stencil is applied at INSERT time (each point is stored
+    # in every voxel whose stencil covers it), so a kNN query needs ONE
+    # center-voxel lookup instead of `nearby` lookups. The hardware reason:
+    # TPU gathers are ROW-rate-bound (~75 M lookups/s flat in column height
+    # 4..64 lanes, measured), so the only way to make the search faster is
+    # fewer lookups per query — inserts are cheap (once per point per frame)
+    # while searches run num_iterations x per frame. Candidate sets are
+    # identical to the unbaked stencil (same offsets, mirrored), up to
+    # per-voxel capacity drops — size pts_per_voxel ~ nearby x unbaked K.
+    baked: bool = False
 
     def __post_init__(self):
         assert self.capacity & (self.capacity - 1) == 0, "capacity must be a power of two"
@@ -217,8 +227,18 @@ def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jn
     bounded-memory behavior of iVox's LRU + capacity limits (ivox3d.h:257-281).
     """
     C, K = config.capacity, config.pts_per_voxel
-    N = points.shape[1]
     coords = point_to_voxel(points, config.resolution)
+    if config.baked:
+        # stencil baked into the map: store the point under every voxel whose
+        # (mirrored) stencil contains it, so knn() reads one voxel per query
+        assert not return_indices, "return_indices is not supported for baked grids"
+        offs = stencil_offsets(config.nearby)  # (S, 3) static numpy
+        S, Nin = len(offs), points.shape[1]
+        offs_j = jnp.asarray(offs.T)  # (3, S)
+        coords = (coords[:, None, :] + offs_j[:, :, None]).reshape(3, S * Nin)
+        points = jnp.broadcast_to(points[:, None, :], (3, S, Nin)).reshape(3, S * Nin)
+        mask = jnp.broadcast_to(mask[None, :], (S, Nin)).reshape(S * Nin)
+    N = points.shape[1]
     cx, cy, cz = coords[0], coords[1], coords[2]
     counter = grid.counter + 1  # fresh stamp for this batch
     keys, fp, occupied, npts, stamp = grid.keys, grid.fp, grid.occupied, grid.npts, grid.stamp
@@ -323,22 +343,23 @@ def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5
     # yields the entire probe window INCLUDING its candidate points.
     # Build cost is a linear copy (~(P*(3K+1)*C)*4 bytes, ~0.1 ms at HBM rate),
     # amortized over the 20k-point query pass it accelerates.
-    pts2d = grid.pts.reshape(3 * K, C)                                      # rows: x0..xK-1,y...,z...
     fp_cnt = (grid.fp & jnp.uint32(0xFFFFFFC0)) | jnp.minimum(grid.npts, K).astype(jnp.uint32)  # 6-bit count, K <= 63
     blk = 1 + 3 * K
-    tbl = jnp.concatenate(
-        [
-            jnp.concatenate(
-                [
-                    jnp.roll(fp_cnt, -j)[None, :],
-                    jax.lax.bitcast_convert_type(jnp.roll(pts2d, -j, axis=1), jnp.uint32),
-                ],
-                axis=0,
-            )
-            for j in range(P)
-        ],
-        axis=0,
-    )                                                                        # (P*(1+3K), C) uint32
+    if not config.baked:
+        pts2d = grid.pts.reshape(3 * K, C)                                  # rows: x0..xK-1,y...,z...
+        tbl = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [
+                        jnp.roll(fp_cnt, -j)[None, :],
+                        jax.lax.bitcast_convert_type(jnp.roll(pts2d, -j, axis=1), jnp.uint32),
+                    ],
+                    axis=0,
+                )
+                for j in range(P)
+            ],
+            axis=0,
+        )                                                                    # (P*(1+3K), C) uint32
 
     zero = qx * 0
     # running best registers as stacked arrays updated with static-index
@@ -349,6 +370,46 @@ def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5
     best_d = jnp.full((k, N), _INF, dtype) + zero[None, :]
     best_xyz = jnp.zeros((3, k, N), dtype) + zero[None, None, :]
     best_i = jnp.full((k, N), -1, jnp.int32) + zero.astype(jnp.int32)[None, :]
+
+    if config.baked:
+        # ONE voxel lookup per query (the stencil was applied at insert):
+        # gather 1 — the (P, C) rolled fingerprint+count table gives the whole
+        # probe window in one row; gather 2 — the (3K, C) point block at the
+        # matched slot. 2 gather rows/query vs `nearby` rows unbaked; the
+        # gather row rate (~75 M rows/s flat in column height) is the search
+        # bound, so this is a ~nearby/2 x speedup of the gather phase.
+        def visit_baked(cand, d2, fi, best_d, best_xyz, best_i):
+            for r in range(k):
+                better = d2 < best_d[r]
+                bd, bxyz, bi = best_d[r], best_xyz[:, r], best_i[r]
+                best_d = best_d.at[r].set(jnp.where(better, d2, bd))
+                best_xyz = best_xyz.at[:, r].set(jnp.where(better, cand, bxyz))
+                best_i = best_i.at[r].set(jnp.where(better, fi, bi))
+                d2 = jnp.where(better, bd, d2)
+                cand = jnp.where(better, bxyz, cand)
+                fi = jnp.where(better, bi, fi)
+            return best_d, best_xyz, best_i
+
+        cx, cy, cz = cq[0], cq[1], cq[2]
+        h0 = _hash3(cx, cy, cz, C)
+        fpq = _fingerprint(cx, cy, cz) & jnp.uint32(0xFFFFFFC0)
+        tblfp = jnp.concatenate([jnp.roll(fp_cnt, -j)[None, :] for j in range(P)], axis=0)  # (P, C)
+        g = tblfp[:, h0]                                  # (P, N) — gather row 1
+        match = (g & jnp.uint32(0xFFFFFFC0)) == fpq[None, :]
+        jm = jnp.argmax(match, axis=0).astype(jnp.int32)
+        safe = (h0 + jm) & (C - 1)
+        first = match & (jnp.cumsum(match.astype(jnp.int32), axis=0) == 1)
+        cnt = jnp.sum(jnp.where(first, (g & jnp.uint32(0x3F)).astype(jnp.int32), 0), axis=0)
+        gpts = grid.pts.reshape(3 * K, C)[:, safe]        # (3K, N) — gather row 2
+        for kk in range(K):
+            px, py, pz = gpts[kk], gpts[K + kk], gpts[2 * K + kk]
+            d2 = (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
+            d2 = jnp.where((kk < cnt) & (d2 <= max_r2), d2, _INF)
+            best_d, best_xyz, best_i = visit_baked(
+                jnp.stack([px, py, pz]), d2, kk * C + safe, best_d, best_xyz, best_i
+            )
+        count = jnp.sum(best_d < _INF, axis=0).astype(jnp.int32)
+        return best_xyz, best_d, count, best_i
 
     def visit(cand, d2, fi, best_d, best_xyz, best_i):
         # insertion sort into the k running-best registers (static unroll)

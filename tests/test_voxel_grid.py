@@ -144,3 +144,35 @@ class TestDownsample:
         mask[0] = False
         _, keep = ops.random_decimate(soa(pts), jnp.asarray(mask), 3)
         np.testing.assert_array_equal(np.asarray(keep), [False, True, False, False, True, False, False, True, False, False])
+
+
+class TestBakedGrid:
+    """Baked stencil mode: insert-side dilation, one-lookup kNN parity."""
+
+    def test_baked_knn_matches_unbaked(self):
+        rng = np.random.default_rng(11)
+        pts = rng.uniform(-8, 8, (3, 4000)).astype(np.float32)
+        q = rng.uniform(-7, 7, (3, 500)).astype(np.float32)
+        mask = jnp.ones(4000, bool)
+
+        cfg_u = ops.GridConfig(capacity=1 << 14, pts_per_voxel=8, resolution=1.0, probe=8, nearby=7)
+        cfg_b = ops.GridConfig(capacity=1 << 14, pts_per_voxel=56, resolution=1.0, probe=8, nearby=7, baked=True)
+        g_u = ops.insert(cfg_u, ops.create(cfg_u), jnp.asarray(pts), mask)
+        g_b = ops.insert(cfg_b, ops.create(cfg_b), jnp.asarray(pts), mask)
+
+        _, d2_u, cnt_u, _ = ops.knn(cfg_u, g_u, jnp.asarray(q), k=5, max_range=3.0)
+        _, d2_b, cnt_b, _ = ops.knn(cfg_b, g_b, jnp.asarray(q), k=5, max_range=3.0)
+        # identical candidate sets -> identical sorted distances and counts
+        np.testing.assert_array_equal(np.asarray(cnt_u), np.asarray(cnt_b))
+        np.testing.assert_allclose(np.asarray(d2_u), np.asarray(d2_b), rtol=1e-6)
+
+    def test_baked_capacity_drops_are_graceful(self):
+        rng = np.random.default_rng(12)
+        pts = rng.uniform(-2, 2, (3, 2000)).astype(np.float32)
+        cfg_b = ops.GridConfig(capacity=1 << 10, pts_per_voxel=8, resolution=1.0, probe=8, nearby=7, baked=True)
+        g_b = ops.insert(cfg_b, ops.create(cfg_b), jnp.asarray(pts), jnp.ones(2000, bool))
+        nbrs, d2, cnt, idx = ops.knn(cfg_b, g_b, jnp.asarray(pts[:, :100]), k=5, max_range=3.0)
+        # dense cloud: every query still finds neighbors, d2 finite where counted
+        assert np.all(np.asarray(cnt) >= 1)
+        valid = np.arange(5)[:, None] < np.asarray(cnt)[None, :]
+        assert np.all(np.isfinite(np.asarray(d2)[valid]))
