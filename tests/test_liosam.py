@@ -209,3 +209,43 @@ class TestBackend:
         g = backend.add_keyframe(cfg, g, jnp.eye(3), jnp.zeros(3))
         assert not bool(backend.should_add_keyframe(cfg, g, jnp.eye(3), jnp.asarray([0.1, 0, 0])))
         assert bool(backend.should_add_keyframe(cfg, g, jnp.eye(3), jnp.asarray([2.0, 0, 0])))
+
+
+class TestParamServer:
+    """ParamServer mapping (utility.h:62-332) -> typed configs."""
+
+    def test_params_from_shipped_yaml(self):
+        import os
+        from pointcloud_slam_tpu.models.liosam import params as ps
+        from pointcloud_slam_tpu.utils import config as cfgio
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        y = cfgio.load_yaml(os.path.join(root, "configs", "slam", "rslidar.yaml"))
+        cfg, pcfg, fcfg, info = ps.slam_config_from_params(y)
+        assert pcfg.n_scan == 16 and pcfg.horizon == 1800
+        assert pcfg.fov_down_deg == -25.0 and abs(pcfg.fov_up_deg - 15.0) < 1e-6
+        assert fcfg.edge_threshold == 1.0 and fcfg.surf_threshold == 0.1
+        assert cfg.loop_fitness_thresh == 1.2
+        assert cfg.rs_radius == 20.0
+        assert cfg.backend.keyframe_dist_thresh == 1.0
+        assert cfg.scan2map.solver.max_iterations == 30
+        assert abs(info["imu"]["gravity"] - 9.80511) < 1e-6
+        assert info["extrinsic_trans"][0] == 0.4813
+        # nothing in the recognized namespace silently dropped
+        assert info["unused"] == [], info["unused"]
+        # the config is hashable/usable as a jit static arg
+        hash(cfg)
+
+    def test_localization_params(self):
+        import os
+        from pointcloud_slam_tpu.models.liosam import params as ps
+        from pointcloud_slam_tpu.utils import config as cfgio
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        y = cfgio.load_yaml(os.path.join(root, "configs", "slam", "rslidar.yaml"))
+        cfg, tiles = ps.localization_config_from_params(y)
+        assert cfg.method == "ndt"
+        assert cfg.ndt.resolution == 0.5
+        assert tiles["area_size"] == 50.0 and tiles["margin"] == 100.0
+        assert tiles["initial_method"] == "human"
+        assert tiles["unused"] == [], tiles["unused"]
