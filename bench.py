@@ -36,16 +36,18 @@ from pointcloud_slam_tpu.io import synthetic  # noqa: E402
 
 N_POINTS = 20_000
 N_ITERS = 30
-F_CHAIN = 32   # frames per program (config 1/2)
+F_CHAIN = 24   # frames per batched program (config 1); 16 for config 2
+F_SERIAL = 8   # frames in the serial reference chain
 # baked stencil: one gather row per query instead of 7 (see GridConfig.baked);
 # pts_per_voxel 28 = 7 stencil voxels x 4 — same candidate budget as the
 # unbaked (K=4, nearby=7) map
 GRID = ops.GridConfig(capacity=1 << 17, pts_per_voxel=28, resolution=0.5, probe=4, nearby=7, baked=True)
 GRID_SERIAL = ops.GridConfig(capacity=1 << 17, pts_per_voxel=4, resolution=0.5, probe=4, nearby=7)
 ICP = register.ICPConfig(
-    search_every=10,
+    search_every=10, warmup_searches=0,
     solver=register.SolverConfig(max_iterations=N_ITERS, rotation_epsilon=0.0, translation_epsilon=0.0),
-)  # epsilon 0: run all 30 iterations — honest full-workload timing
+)  # epsilon 0: run all 30 iterations — honest full-workload timing; fixed
+# 3-search cadence (trans_err gate proves accuracy is unaffected)
 
 
 def _frames(world, n, n_pts, seed0=100, rot=0.05, trans=0.3):
@@ -85,25 +87,29 @@ def config1_icp():
     # --- serial chain (lax.map, unbaked map) for reference: the
     # strictly-sequential shape
     grid_cfg_s, grid_s = register.build_target_map(jnp.asarray(world.T), grid_cfg=GRID_SERIAL)
+    srcs_s = srcs[:F_SERIAL]
 
     @jax.jit
     def solve_chain(grid, srcs):
         res = jax.lax.map(lambda s: register.point_to_plane_icp(grid_cfg_s, grid, s, cfg=ICP), srcs)
         return res.pose.t
 
-    ts = solve_chain(grid_s, srcs)
-    terr = float(np.max(np.linalg.norm(np.asarray(ts) - gt_t, axis=1)))
+    ts = solve_chain(grid_s, srcs_s)
+    terr = float(np.max(np.linalg.norm(np.asarray(ts) - gt_t[:F_SERIAL], axis=1)))
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        _ = np.asarray(solve_chain(grid_s, srcs))
-    dt_serial = (time.perf_counter() - t0) / (reps * F_CHAIN)
+        _ = np.asarray(solve_chain(grid_s, srcs_s))
+    dt_serial = (time.perf_counter() - t0) / (reps * F_SERIAL)
 
-    solve1 = jax.jit(lambda g, s: register.point_to_plane_icp(grid_cfg, g, s, cfg=ICP).pose.t)
-    _ = np.asarray(solve1(grid, srcs[0]))
+    # single-frame latency on the unbaked map (single-frame programs with a
+    # baked grid hit an XLA TPU backend fault on this stack — see
+    # GridConfig.baked; batched paths are unaffected)
+    solve1 = jax.jit(lambda g, s: register.point_to_plane_icp(grid_cfg_s, g, s, cfg=ICP).pose.t)
+    _ = np.asarray(solve1(grid_s, srcs[0]))
     t0 = time.perf_counter()
     for f in range(4):
-        _ = np.asarray(solve1(grid, srcs[f % F_CHAIN]))
+        _ = np.asarray(solve1(grid_s, srcs[f % F_CHAIN]))
     lat_ms = (time.perf_counter() - t0) / 4 * 1e3
     return 1.0 / dt, {"per_frame_ms": round(dt * 1e3, 3),
                       "serial_per_frame_ms": round(dt_serial * 1e3, 3),
@@ -115,7 +121,7 @@ def config2_ndt():
     """NDT scan-to-map matching, chained frame sequence (BASELINE config 2)."""
     world = synthetic.make_room_cloud(60_000, seed=2)
     n_pts = 10_000
-    srcs, gt_t = _frames(world, F_CHAIN, n_pts, seed0=300, rot=0.03, trans=0.2)
+    srcs, gt_t = _frames(world, 16, n_pts, seed0=300, rot=0.03, trans=0.2)
     ncfg = register.NDTConfig(resolution=1.0, solver=register.SolverConfig(max_iterations=20))
     ndt_grid, ndt_map = register.ndt.build_target(ncfg, jnp.asarray(world.T), capacity=1 << 15)
 
@@ -130,7 +136,7 @@ def config2_ndt():
     t0 = time.perf_counter()
     for _ in range(reps):
         _ = np.asarray(solve_chain(srcs))
-    dt = (time.perf_counter() - t0) / (reps * F_CHAIN)
+    dt = (time.perf_counter() - t0) / (reps * 16)
     return {"ndt_scan_to_map_fps_10k": round(1.0 / dt, 2), "ndt_trans_err_max_m": round(terr, 4)}
 
 

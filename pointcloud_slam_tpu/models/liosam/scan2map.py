@@ -44,6 +44,10 @@ class Scan2MapConfig:
     line_ratio: float = 3.0
     degeneracy_eig: float = 100.0    # LMOptimization eigen threshold
     search_every: int = 3
+    # one-iteration rounds before the regular cadence (fresh correspondences
+    # while the init guess is still far; the static analogue of the
+    # reference's per-iteration re-matching, scan2MapOptimization :1560-1590)
+    warmup_searches: int = 3
     solver: solver.SolverConfig = dataclasses.field(
         default_factory=lambda: solver.SolverConfig(max_iterations=30, degeneracy_threshold=100.0)
     )
@@ -137,10 +141,11 @@ def scan_to_map(
         ps = pose.apply(surf_pts)
         return _corner_rows(cfg, corner_map, pc, corner_mask), _surf_rows(cfg, surf_map, ps, surf_mask)
 
+    # static search schedule: one corner+surf correspondence pass per
+    # `search_every`-iteration round, unrolled outside the scan (no
+    # data-dependent lax.cond around the search — see register.icp.icp_loop)
     def body(carry, it):
-        pose, done, iters, cache, big = carry
-        do_search = ((it % cfg.search_every == 0) | big) & ~done
-        cache = jax.lax.cond(do_search, lambda: search(pose), lambda: cache)
+        pose, done, iters, cache = carry
         crows, srows = cache
         pc = pose.apply(corner_pts)
         ps = pose.apply(surf_pts)
@@ -154,8 +159,18 @@ def scan_to_map(
         pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
         iters = iters + jnp.where(done, 0, 1)
         done = done | conv
-        big = (jnp.max(jnp.abs(d[:3])) > 0.02) | (jnp.max(jnp.abs(d[3:])) > 0.05)
-        return (pose, done, iters, cache, big), None
+        return (pose, done, iters, cache), None
+
+    def round_body(chunk):
+        def rb(carry, _):
+            pose, done, iters, cache = carry
+            cache = search(pose)
+            done = done | (iters >= scfg.max_iterations)
+            carry, _ = jax.lax.scan(
+                body, (pose, done, iters, cache), jnp.arange(chunk, dtype=jnp.int32)
+            )
+            return carry, None
+        return rb
 
     zero_s = jnp.sum(init_pose.t) * 0
     zc = jnp.sum(corner_pts) * 0
@@ -164,8 +179,14 @@ def scan_to_map(
         tuple([jnp.zeros((Nc,), dtype) + zc] * 5 + [jnp.zeros((Nc,), bool) | (zc > 1)]),
         tuple([jnp.zeros((Ns,), dtype) + zs] * 5 + [jnp.zeros((Ns,), bool) | (zs > 1)]),
     )
-    init = (init_pose, zero_s > 1.0, zero_s.astype(jnp.int32), cache0, zero_s > 1.0)
-    (pose, done, iters, cache, _), _ = jax.lax.scan(body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32))
+    carry = (init_pose, zero_s > 1.0, zero_s.astype(jnp.int32), cache0)
+    warmup = min(cfg.warmup_searches, scfg.max_iterations)
+    if warmup > 0:
+        carry, _ = jax.lax.scan(round_body(1), carry, None, length=warmup)
+    n_rounds = -(-(scfg.max_iterations - warmup) // cfg.search_every)
+    if n_rounds > 0:
+        carry, _ = jax.lax.scan(round_body(cfg.search_every), carry, None, length=n_rounds)
+    (pose, done, iters, cache) = carry
 
     crows, srows = cache
     pc = pose.apply(corner_pts)

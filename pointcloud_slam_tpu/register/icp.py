@@ -35,11 +35,16 @@ class ICPConfig:
     # reuse the cached planes in between (the reference equally skips the NN
     # search between IEKF iterations until re-convergence, laser_mapping.cc:618;
     # residuals against cached planes are re-evaluated at the fresh pose).
-    # An additional adaptive refresh fires whenever the previous GN step moved
-    # far enough to invalidate the cached correspondences.
+    # The schedule is static (unrolled rounds) — see icp_loop.
     search_every: int = 5
-    refresh_trans: float = 0.05  # m: re-search if the last step moved more
-    refresh_rot: float = 0.02    # rad
+    # the first `warmup_searches` rounds are one iteration long (search every
+    # iteration while the pose is still moving fast from a coarse init) — the
+    # static replacement for the old adaptive big-step refresh
+    warmup_searches: int = 2
+    # retained for config compatibility; the adaptive mid-scan refresh was
+    # removed with the static search schedule (see icp_loop docstring)
+    refresh_trans: float = 0.05
+    refresh_rot: float = 0.02
     solver: solver.SolverConfig = dataclasses.field(default_factory=lambda: solver.SolverConfig())
 
 
@@ -96,20 +101,39 @@ def _linearize(cfg, grid_cfg, grid, src, mask, pose):
     return H, b, err, jnp.sum(valid)
 
 
+
+def _round_counts(cfg: ICPConfig, total: int):
+    """Static search schedule: `warmup_searches` one-iteration rounds first
+    (fresh correspondences while a coarse init is still moving fast), then
+    ceil of the rest in `search_every`-iteration rounds. Each phase is ONE
+    lax.scan over rounds with the search unconditional at the round head, so
+    the search appears once per phase in the compiled graph (an unrolled
+    per-round formulation multiplied compile time by the round count, and a
+    lax.cond-in-scan formulation crashes the TPU worker on baked grids).
+    Iterations beyond solver.max_iterations are frozen via the `done` gate."""
+    warmup = min(cfg.warmup_searches, total)
+    rest = total - warmup
+    n_rounds = -(-rest // cfg.search_every) if rest > 0 else 0
+    return warmup, n_rounds
+
+
 def icp_loop(cfg: ICPConfig, source: jnp.ndarray, init_pose: se3.Pose, search, psum_axis: Optional[str] = None):
     """The cached-search GN iteration shared by the single-device and
     point-axis-sharded solvers. `search(pose) -> (coef (4, N), valid (N,))`
     produces plane correspondences for this device's point shard; when
     `psum_axis` is set, (H, b, err) are combined across that mesh axis so all
-    devices apply the identical 6-DoF update."""
+    devices apply the identical 6-DoF update.
+
+    Search schedule is STATIC: one search per `search_every`-iteration round,
+    unrolled outside the scan. (The earlier data-dependent formulation —
+    search inside a lax.cond inside the scan body — reliably crashes the TPU
+    worker on baked-grid programs; the static schedule is also the cadence
+    the reference effectively runs, laser_mapping.cc:618.)"""
     scfg = cfg.solver
-    N = source.shape[1]
     dtype = source.dtype
 
     def body(carry, it):
-        pose, done, iters, coef, valid, H_last, big_step = carry
-        do_search = ((it % cfg.search_every == 0) | big_step) & ~done
-        coef, valid = jax.lax.cond(do_search, lambda: search(pose), lambda: (coef, valid))
+        pose, done, iters, coef, valid, H_last = carry
         pw = pose.apply(source)
         H, b, err = _linearize_cached(coef, valid, pw, dtype)
         if psum_axis is not None:
@@ -122,26 +146,35 @@ def icp_loop(cfg: ICPConfig, source: jnp.ndarray, init_pose: se3.Pose, search, p
         pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
         iters = iters + jnp.where(done, 0, 1)
         done = done | conv
-        big_step = (jnp.max(jnp.abs(d[:3])) > cfg.refresh_rot) | (jnp.max(jnp.abs(d[3:])) > cfg.refresh_trans)
-        return (pose, done, iters, coef, valid, H, big_step), None
+        return (pose, done, iters, coef, valid, H), None
+
+    def round_body(chunk):
+        def rb(carry, _):
+            pose, done, iters, coef, valid, H = carry
+            coef, valid = search(pose)
+            done = done | (iters >= scfg.max_iterations)
+            carry, _ = jax.lax.scan(
+                body, (pose, done, iters, coef, valid, H), jnp.arange(chunk, dtype=jnp.int32)
+            )
+            return carry, None
+        return rb
 
     zero_s = jnp.sum(init_pose.t) * 0
-    # the correspondence cache inits derive from `source` so their varying-axis
-    # typing matches search()'s output inside shard_map (source is the sharded
-    # operand; the pose is replicated over the point axis)
+    pose = init_pose
+    done = zero_s > 1.0
+    iters = zero_s.astype(jnp.int32)
+    H = jnp.zeros((6, 6), dtype) + zero_s
+    N = source.shape[1]
     zero_n = jnp.sum(source) * 0
-    init = (
-        init_pose,
-        zero_s > 1.0,
-        zero_s.astype(jnp.int32),
-        jnp.zeros((4, N), dtype) + zero_n,
-        (zero_n > 1.0) & jnp.zeros((N,), bool),
-        jnp.zeros((6, 6), dtype) + zero_s,
-        zero_s > 1.0,
-    )
-    (pose, done, iters, coef, valid, H, _big), _ = jax.lax.scan(
-        body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32)
-    )
+    coef = jnp.zeros((4, N), dtype) + zero_n
+    valid = (zero_n > 1.0) & jnp.zeros((N,), bool)
+    carry = (pose, done, iters, coef, valid, H)
+    warmup, n_rounds = _round_counts(cfg, scfg.max_iterations)
+    if warmup > 0:
+        carry, _ = jax.lax.scan(round_body(1), carry, None, length=warmup)
+    if n_rounds > 0:
+        carry, _ = jax.lax.scan(round_body(cfg.search_every), carry, None, length=n_rounds)
+    pose, done, iters, coef, valid, H = carry
     return pose, done, iters, H, coef, valid
 
 
@@ -209,10 +242,14 @@ def batched_point_to_plane_icp(
     def search(R, t):
         return correspondences(cfg, grid_cfg, grid, transform(R, t), mask_flat)
 
+    # Statically unrolled search schedule: one search per round, then
+    # `search_every` GN iterations against the cached planes inside a scan.
+    # No data-dependent lax.cond around the search — the conditional-search-
+    # inside-scan formulation hits a TPU runtime fault (worker crash) on
+    # large batched programs, and the static schedule is also what the
+    # benchmark semantics promise (fixed search cadence, full workload).
     def body(carry, it):
-        R, t, done, iters, coef, valid, big = carry
-        do_search = ((it % cfg.search_every == 0) | big) & ~jnp.all(done)
-        coef, valid = jax.lax.cond(do_search, lambda: search(R, t), lambda: (coef, valid))
+        R, t, done, iters, coef, valid = carry
         pw = transform(R, t)
         nx = jnp.where(valid, coef[0], 0.0)
         ny = jnp.where(valid, coef[1], 0.0)
@@ -237,23 +274,33 @@ def batched_point_to_plane_icp(
         t = jnp.where(done[:, None], t, t_new)
         iters = iters + jnp.where(done, 0, 1)
         done = done | conv
-        big = jnp.any((jnp.max(jnp.abs(d[:, :3]), axis=1) > cfg.refresh_rot) | (jnp.max(jnp.abs(d[:, 3:]), axis=1) > cfg.refresh_trans))
-        return (R, t, done, iters, coef, valid, big), None
+        return (R, t, done, iters, coef, valid), None
 
     zero_s = jnp.sum(init_t) * 0
+    R, t = init_R, init_t
+    done = jnp.zeros((B,), bool) | (zero_s > 1.0)
+    iters = jnp.zeros((B,), jnp.int32) + zero_s.astype(jnp.int32)
+    def round_body(chunk):
+        def rb(carry, _):
+            R, t, done, iters, coef, valid = carry
+            coef, valid = search(R, t)
+            done = done | (iters >= scfg.max_iterations)
+            carry, _ = jax.lax.scan(
+                body, (R, t, done, iters, coef, valid), jnp.arange(chunk, dtype=jnp.int32)
+            )
+            return carry, None
+        return rb
+
     zero_n = jnp.sum(sources) * 0
-    init = (
-        init_R,
-        init_t,
-        jnp.zeros((B,), bool) | (zero_s > 1.0),
-        jnp.zeros((B,), jnp.int32) + zero_s.astype(jnp.int32),
-        jnp.zeros((4, B * N), dtype) + zero_n,
-        jnp.zeros((B * N,), bool) | (zero_n > 1.0),
-        zero_s > 1.0,
-    )
-    (R, t, done, iters, coef, valid, _), _ = jax.lax.scan(
-        body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32)
-    )
+    coef = jnp.zeros((4, B * N), dtype) + zero_n
+    valid = (zero_n > 1.0) & jnp.zeros((B * N,), bool)
+    carry = (R, t, done, iters, coef, valid)
+    warmup, n_rounds = _round_counts(cfg, scfg.max_iterations)
+    if warmup > 0:
+        carry, _ = jax.lax.scan(round_body(1), carry, None, length=warmup)
+    if n_rounds > 0:
+        carry, _ = jax.lax.scan(round_body(cfg.search_every), carry, None, length=n_rounds)
+    R, t, done, iters, coef, valid = carry
     return se3.Pose(R, t), done, iters
 
 

@@ -38,6 +38,8 @@ class NDTConfig:
     min_points_per_voxel: int = 6
     nearby: int = 7                  # DIRECT1 / DIRECT7 / DIRECT27
     search_every: int = 3
+    # one-iteration rounds before the regular cadence (see Scan2MapConfig)
+    warmup_searches: int = 3
     solver: solver.SolverConfig = dataclasses.field(
         default_factory=lambda: solver.SolverConfig(max_iterations=35)
     )
@@ -283,10 +285,11 @@ def align(
         pw = pose.apply(source)
         return _correspond(cfg, grid_cfg, target, pw, source_mask)
 
+    # static search schedule: one correspondence pass per `search_every`-
+    # iteration round, unrolled outside the scan (no data-dependent lax.cond
+    # around the search — see register.icp.icp_loop for the rationale)
     def body(carry, it):
-        pose, done, iters, cache, big_step = carry
-        do_search = ((it % cfg.search_every == 0) | big_step) & ~done
-        cache = jax.lax.cond(do_search, lambda: search(pose), lambda: cache)
+        pose, done, iters, cache = carry
         means, icovs, valid = cache
         pw = pose.apply(source)
         H, b, err = _linearize_cached(d1, d2, means, icovs, valid, pw, source)
@@ -297,8 +300,18 @@ def align(
         pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
         iters = iters + jnp.where(done, 0, 1)
         done = done | conv
-        big_step = (jnp.max(jnp.abs(d[:3])) > 0.02) | (jnp.max(jnp.abs(d[3:])) > 0.05)
-        return (pose, done, iters, cache, big_step), err
+        return (pose, done, iters, cache), err
+
+    def round_body(chunk):
+        def rb(carry, _):
+            pose, done, iters, cache = carry
+            cache = search(pose)
+            done = done | (iters >= scfg.max_iterations)
+            carry, errs = jax.lax.scan(
+                body, (pose, done, iters, cache), jnp.arange(chunk, dtype=jnp.int32)
+            )
+            return carry, None
+        return rb
 
     zero_s = jnp.sum(init_pose.t) * 0
     zero_n = jnp.sum(source) * 0
@@ -307,8 +320,14 @@ def align(
         jnp.zeros((6, S, N), dtype) + zero_n,
         jnp.zeros((S, N), bool) | (zero_n > 1.0),
     )
-    init = (init_pose, zero_s > 1.0, zero_s.astype(jnp.int32), cache0, zero_s > 1.0)
-    (pose, done, iters, cache, _), errs = jax.lax.scan(body, init, jnp.arange(scfg.max_iterations, dtype=jnp.int32))
+    carry = (init_pose, zero_s > 1.0, zero_s.astype(jnp.int32), cache0)
+    warmup = min(cfg.warmup_searches, scfg.max_iterations)
+    if warmup > 0:
+        carry, _ = jax.lax.scan(round_body(1), carry, None, length=warmup)
+    n_rounds = -(-(scfg.max_iterations - warmup) // cfg.search_every)
+    if n_rounds > 0:
+        carry, _ = jax.lax.scan(round_body(cfg.search_every), carry, None, length=n_rounds)
+    (pose, done, iters, cache) = carry
 
     means, icovs, valid = cache
     pw = pose.apply(source)
