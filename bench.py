@@ -224,10 +224,15 @@ def config4_occupancy():
     dt = (time.perf_counter() - t0) / (reps * n_scans)
 
     # pcd2map: downsample + z-band nav cloud of the full building scan
+    # (jit + warmup first — compile time is not pipeline time)
+    nav_fn = jax.jit(lambda p, m: pcd2map.pcd_to_nav_cloud(p, m, leaf=0.2, z_min=0.1, z_max=1.5))
+    wp, wm = jnp.asarray(world.T), jnp.ones(len(world), bool)
+    _ = np.asarray(nav_fn(wp, wm)[1].sum())
     t0 = time.perf_counter()
-    nav, nmask = pcd2map.pcd_to_nav_cloud(jnp.asarray(world.T), jnp.ones(len(world), bool), leaf=0.2, z_min=0.1, z_max=1.5)
-    _ = np.asarray(nmask.sum())
-    pcd2map_ms = (time.perf_counter() - t0) * 1e3
+    for _ in range(3):
+        nav, nmask = nav_fn(wp, wm)
+        _ = np.asarray(nmask.sum())
+    pcd2map_ms = (time.perf_counter() - t0) / 3 * 1e3
     return {"occupancy_scans_per_sec": round(1.0 / dt, 2), "pcd2map_ms_60k": round(pcd2map_ms, 1)}
 
 
@@ -236,7 +241,9 @@ def config5_backend():
     from pointcloud_slam_tpu.models.liosam import backend as bk
 
     KF, L = 5120, 256
-    cfg = bk.BackendConfig(max_keyframes=KF, max_loops=L, gn_iterations=6, pcg_iterations=60)
+    # chain-preconditioned PCG: iterations scale with the number of loops,
+    # not the trajectory length — 24 suffice where block-Jacobi needed ~KF
+    cfg = bk.BackendConfig(max_keyframes=KF, max_loops=L, gn_iterations=6, pcg_iterations=24)
     rng = np.random.default_rng(0)
     # circular trajectory with drift; loops close ring-distance neighbors
     ang = np.linspace(0, 4 * np.pi, KF)

@@ -326,7 +326,11 @@ def _graph_terms(cfg: BackendConfig, g: PoseGraph):
     Jj = jnp.concatenate([Jj_o, Jj_l, Jj_i9, Jj_b], axis=0)
     e = jnp.concatenate([e_o, e_l, e9_i, e_b], axis=0)
     info = jnp.concatenate([info_o, info_l, info_i, info_b], axis=0)
-    return fi, fj, Ji, Jj, e, info
+    # sub-diagonal coupling blocks of the sequential (chain) families for the
+    # cyclic-reduction preconditioner; loops stay out (low-rank PCG part)
+    B = _offdiag_blocks(KF, dtype, (Ji_o, Ji_i9, Ji_b), (Jj_o, Jj_i9, Jj_b),
+                        (info_o, info_i, info_b))
+    return fi, fj, Ji, Jj, e, info, B
 
 
 def _hv(fi, fj, Ji, Jj, info, prior_diag, v):
@@ -340,13 +344,106 @@ def _hv(fi, fj, Ji, Jj, info, prior_diag, v):
 
 
 def _precond_blocks(KF, dtype, fi, fj, Ji, Jj, info, prior_diag):
-    """Block-diagonal of H (KF, D, D) inverse (Jacobi-block preconditioner)."""
+    """Block-diagonal of H (KF, D, D), NOT inverted (feeds the chain
+    preconditioner's diagonal)."""
     blocks = jnp.zeros((KF, D, D), dtype)
     blocks = blocks.at[fi].add(jnp.einsum("fba,fb,fbc->fac", Ji, info, Ji))
     blocks = blocks.at[fj].add(jnp.einsum("fba,fb,fbc->fac", Jj, info, Jj))
     blocks = blocks + jax.vmap(jnp.diag)(prior_diag)
     blocks = blocks + 1e-6 * jnp.eye(D, dtype=dtype)
-    return jnp.linalg.inv(blocks)
+    return blocks
+
+
+def _offdiag_blocks(KF, dtype, Ji_fams, Jj_fams, info_fams):
+    """Sub-diagonal blocks L (KF, D, D): L[k] = H[node k, node k-1] — the
+    LOWER coupling block chain_factor expects — contributed by the sequential
+    factor families (odometry, IMU, bias) whose slot k couples nodes
+    (k-1, k): H[k, k-1] = Jj^T W Ji. Loop factors are deliberately
+    excluded — they are the low-rank part PCG handles."""
+    B = jnp.zeros((KF, D, D), dtype)
+    for Ji_f, Jj_f, info_f in zip(Ji_fams, Jj_fams, info_fams):
+        B = B + jnp.einsum("fba,fb,fbc->fac", Jj_f, info_f, Ji_f)
+    return B
+
+
+def chain_factor(Dblk, L):
+    """Block cyclic reduction factorization of the SPD block-tridiagonal
+    system diag(Dblk) + sub-diagonal L (L[k] couples node k-1 -> k, L[0]=0).
+
+    The odometry/IMU backbone of a pose graph IS this system; solving it
+    exactly as the PCG preconditioner makes convergence depend on the number
+    of loop closures instead of the trajectory length (a 5k-node chain needs
+    ~5k block-Jacobi PCG iterations to propagate a loop correction; with the
+    chain solve it needs ~tens). Cyclic reduction runs log2(KF) levels of
+    BATCHED 15x15 block algebra — no sequential scans — so it maps onto the
+    TPU the way the length-parallel solvers in the literature map onto GPUs.
+
+    Returns a list of per-level caches consumed by `chain_solve`.
+    """
+    dtype = Dblk.dtype
+    eye = jnp.eye(Dblk.shape[-1], dtype=dtype)
+    levels = []
+    Dl, Ll = Dblk, L
+    n = Dl.shape[0]
+    while n > 1:
+        n_odd = n // 2
+        n_even = n - n_odd
+        De = Dl[0::2]
+        Do = Dl[1::2]
+        Le = Ll[0::2]                                        # L[2m]: couples 2m-1 -> 2m
+        Lo = Ll[1::2]                                        # L[2m+1]: couples 2m -> 2m+1
+        Do_inv = jnp.linalg.inv(Do + 1e-8 * eye)
+        # pad odd-side arrays to n_even for the shifted/boundary terms
+        pad = n_even - n_odd
+        Do_inv_p = jnp.concatenate([Do_inv, jnp.broadcast_to(eye, (pad, *eye.shape))], 0) if pad else Do_inv
+        Lo_p = jnp.concatenate([Lo, jnp.zeros((pad, *eye.shape), dtype)], 0) if pad else Lo
+        # A[m] = L[2m] @ Do_inv[m-1]  (A[0] = 0 since L[0] = 0)
+        Do_inv_shift = jnp.concatenate([jnp.broadcast_to(eye, (1, *eye.shape)), Do_inv_p[:-1]], 0)
+        A = jnp.einsum("mab,mbc->mac", Le, Do_inv_shift)
+        # C[m] = L[2m+1]^T @ Do_inv[m]  (zero at the padded tail)
+        C = jnp.einsum("mba,mbc->mac", Lo_p, Do_inv_p)
+        # reduced diagonal / sub-diagonal over the even nodes
+        D_new = De - jnp.einsum("mab,mcb->mac", A, Le) - jnp.einsum("mab,mbc->mac", C, Lo_p)
+        Lo_shift = jnp.concatenate([jnp.zeros((1, *eye.shape), dtype), Lo_p[:-1]], 0)
+        L_new = -jnp.einsum("mab,mbc->mac", A, Lo_shift)
+        # back-substitution needs: x_o[m] = Do_inv[m] (r_o[m] - Lo[m] x_e[m]
+        #                                   - Le[m+1]^T x_e[m+1])
+        LeT_next = jnp.swapaxes(jnp.concatenate([Le[1:], jnp.zeros((1, *eye.shape), dtype)], 0), -1, -2)[:n_odd]
+        levels.append({"A": A, "C": C, "Do_inv": Do_inv, "Lo": Lo, "LeT_next": LeT_next, "n": n})
+        Dl, Ll, n = D_new, L_new, n_even
+    top_inv = jnp.linalg.inv(Dl[0] + 1e-8 * eye)
+    return levels, top_inv
+
+
+def chain_solve(levels, top_inv, r):
+    """Apply the cyclic-reduction factorization: solve M x = r, r (KF, D)."""
+    # down sweep: reduce the RHS to the even sub-systems, stashing the odd r
+    stack = []
+    for lv in levels:
+        r_e = r[0::2]
+        r_o = r[1::2]
+        pad = r_e.shape[0] - r_o.shape[0]
+        r_o_p = jnp.concatenate([r_o, jnp.zeros((pad, r.shape[1]), r.dtype)], 0) if pad else r_o
+        r_o_shift = jnp.concatenate([jnp.zeros((1, r.shape[1]), r.dtype), r_o_p[:-1]], 0)
+        r = r_e - jnp.einsum("mab,mb->ma", lv["A"], r_o_shift) - jnp.einsum("mab,mb->ma", lv["C"], r_o_p)
+        stack.append(r_o)
+    x = jnp.einsum("ab,b->a", top_inv, r[0])[None, :]
+    # up sweep: recover the odd unknowns level by level
+    for lv, r_o in zip(reversed(levels), reversed(stack)):
+        n, n_odd = lv["n"], r_o.shape[0]
+        x_e = x
+        x_e_next = jnp.concatenate([x_e[1:], jnp.zeros((1, x.shape[1]), x.dtype)], 0)[:n_odd]
+        x_o = jnp.einsum(
+            "mab,mb->ma",
+            lv["Do_inv"],
+            r_o
+            - jnp.einsum("mab,mb->ma", lv["Lo"], x_e[:n_odd])
+            - jnp.einsum("mab,mb->ma", lv["LeT_next"], x_e_next),
+        )
+        x = jnp.zeros((n, x.shape[1]), x.dtype)
+        x = x.at[0::2].set(x_e)
+        x = x.at[1::2].set(x_o)
+    return x
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -367,7 +464,7 @@ def optimize(cfg: BackendConfig, g: PoseGraph) -> PoseGraph:
     vb_obs = active & (g.imu_mask | imu_next)
 
     def gn_step(g, _):
-        fi, fj, Ji, Jj, e, info = _graph_terms(cfg, g)
+        fi, fj, Ji, Jj, e, info, B = _graph_terms(cfg, g)
         pose_prior = jnp.where((idx == 0) & active, cfg.prior_info, jnp.where(active, 0.0, 1.0))
         vb_prior = jnp.where(
             (idx == 0) & active, jnp.maximum(cfg.prior_info * 1e-4, 1.0), jnp.where(vb_obs, 0.0, 1.0)
@@ -393,15 +490,18 @@ def optimize(cfg: BackendConfig, g: PoseGraph) -> PoseGraph:
         gps_r = jnp.einsum("kij,kj->ki", jnp.swapaxes(g.R, -1, -2), g.prior_pos - g.t)
         b = b - gpsw * jnp.zeros((KF, D), dtype).at[:, 3:6].set(gps_r)
 
-        Minv = _precond_blocks(KF, dtype, fi, fj, Ji, Jj, info, prior_diag)
+        Dblk = _precond_blocks(KF, dtype, fi, fj, Ji, Jj, info, prior_diag)
+        levels, top_inv = chain_factor(Dblk, B)
 
         def hv(v):
             return _hv(fi, fj, Ji, Jj, info, prior_diag, v)
 
-        # PCG on H dx = -b
+        # PCG on H dx = -b, preconditioned by the EXACT chain solve: the
+        # trajectory backbone is handled directly, PCG only has to absorb
+        # the loop-closure corrections (iterations ~ loops, not keyframes)
         x = jnp.zeros((KF, D), dtype)
         r = -b - hv(x)
-        z = jnp.einsum("kab,kb->ka", Minv, r)
+        z = chain_solve(levels, top_inv, r)
         p = z
         rz = jnp.sum(r * z)
 
@@ -412,7 +512,7 @@ def optimize(cfg: BackendConfig, g: PoseGraph) -> PoseGraph:
             alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = jnp.einsum("kab,kb->ka", Minv, r)
+            z = chain_solve(levels, top_inv, r)
             rz_new = jnp.sum(r * z)
             beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
             p = z + beta * p

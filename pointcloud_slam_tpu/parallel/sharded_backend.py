@@ -44,7 +44,7 @@ def sharded_optimize(mesh: Mesh, cfg: bk.BackendConfig, g: bk.PoseGraph, axis: s
         rank = jax.lax.axis_index(axis)
 
         def gn_step(g, _):
-            fi, fj, Ji, Jj, e, info = bk._graph_terms(cfg, g)
+            fi, fj, Ji, Jj, e, info, B = bk._graph_terms(cfg, g)
             F = fi.shape[0]
             # this device's factor shard: [rank*chunk, (rank+1)*chunk) with
             # zero-info padding beyond F (chunk * n_shards >= F)
@@ -90,7 +90,9 @@ def sharded_optimize(mesh: Mesh, cfg: bk.BackendConfig, g: bk.PoseGraph, axis: s
             blocks = blocks.at[fj].add(jnp.einsum("fba,fb,fbc->fac", Jj, info, Jj))
             blocks = jax.lax.psum(blocks, axis)
             blocks = blocks + jax.vmap(jnp.diag)(prior_diag) + 1e-6 * jnp.eye(bk.D, dtype=dtype)
-            Minv = jnp.linalg.inv(blocks)
+            # exact chain preconditioner (replicated; B comes from the full
+            # sequential families, the psum'd blocks are the full diagonal)
+            levels, top_inv = bk.chain_factor(blocks, B)
 
             def hv(v):
                 fv = jnp.einsum("fab,fb->fa", Ji, v[fi]) + jnp.einsum("fab,fb->fa", Jj, v[fj])
@@ -102,7 +104,7 @@ def sharded_optimize(mesh: Mesh, cfg: bk.BackendConfig, g: bk.PoseGraph, axis: s
 
             x = jnp.zeros((KF, bk.D), dtype)
             r = -b - hv(x)
-            z = jnp.einsum("kab,kb->ka", Minv, r)
+            z = bk.chain_solve(levels, top_inv, r)
             p = z
             rz = jnp.sum(r * z)
 
@@ -113,7 +115,7 @@ def sharded_optimize(mesh: Mesh, cfg: bk.BackendConfig, g: bk.PoseGraph, axis: s
                 alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
                 x = x + alpha * p
                 r = r - alpha * Ap
-                z = jnp.einsum("kab,kb->ka", Minv, r)
+                z = bk.chain_solve(levels, top_inv, r)
                 rz_new = jnp.sum(r * z)
                 beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
                 p = z + beta * p
