@@ -141,31 +141,38 @@ def config2_ndt():
 
 
 def config3_lio(n_frames=200):
-    """Full LIO loop throughput (BASELINE config 3; 5k-frame workload rate
-    measured over n_frames chained in blocks)."""
+    """Full SEQUENTIAL LIO loop (BASELINE config 3): per-frame IMU propagation
+    + undistortion + iterated ESKF + incremental map insert, frames chained in
+    blocks with one readback per block (the streaming odometry shape).
+    Reports throughput AND trajectory error vs the exact-IMU ground truth."""
     from pointcloud_slam_tpu.io import feed
     from pointcloud_slam_tpu.models import lio
 
     cfg = lio.LIOConfig(
-        grid=ops.GridConfig(capacity=1 << 17, pts_per_voxel=8, resolution=0.4, nearby=7),
+        grid=ops.GridConfig(capacity=1 << 17, pts_per_voxel=4, resolution=0.4, nearby=7, probe=4, claim_rounds=2),
         scan_leaf=0.3, map_leaf=0.3, init_imu_frames=1,
+        scan_budget=8192, insert_budget=4096,
     )
-    BLOCK = 20
+    BLOCK = 40
     n_pts, n_imu = 20_000, 20
     world = synthetic.make_room_cloud(80_000, seed=3, size=30.0)
     traj = synthetic.make_imu_trajectory(n_frames + 1, imu_per_frame=n_imu, frame_dt=0.1, seed=3)
 
-    frames = []
+    rng = np.random.default_rng(3)
+    frames, gt_pos = [], []
     for f in range(n_frames):
         i0, i1 = f * n_imu, (f + 1) * n_imu
-        pts = synthetic.make_scan_from_world(world, traj["pos"][i1], n_out=n_pts, seed=f)
-        # express in body frame at scan end
-        pts = (pts - 0.0) @ np.eye(3, dtype=np.float32)  # already sensor-relative
+        pos, R = traj["pos"][i1], traj["R"][i1]
+        rel = (world - pos) @ R  # world -> body at scan end
+        r = np.linalg.norm(rel, axis=1)
+        vis = rel[(r < 30.0) & (r > 0.3)]
+        pts = vis[rng.choice(len(vis), size=min(n_pts, len(vis)), replace=False)].astype(np.float32)
         imu_t = (traj["t"][i0 + 1 : i1 + 1] - traj["t"][i0]).astype(np.float32)
         frames.append(feed.make_frame(
             pts, np.full(len(pts), 0.1, np.float32), traj["acc"][i0:i1], traj["gyro"][i0:i1],
             imu_t, n_points=n_pts, n_imu=n_imu, prev_imu_t=0.0,
         ))
+        gt_pos.append(pos)
     stacked = [jax.tree.map(lambda *xs: jnp.stack(xs), *frames[i : i + BLOCK]) for i in range(0, n_frames, BLOCK)]
 
     @jax.jit
@@ -177,16 +184,22 @@ def config3_lio(n_frames=200):
         return jax.lax.scan(body, state, fr_block)
 
     state = lio.create_state(cfg)
-    state, _ = run_block(state, stacked[0])  # warmup/compile + init frames
-    jax.block_until_ready(state.P)
+    # warmup/compile + init frames; a REAL readback, not block_until_ready —
+    # the axon relay is lazy and block_until_ready does not force execution
+    state, ps = run_block(state, stacked[0])
+    est = [np.asarray(ps)]
     t0 = time.perf_counter()
     done = 0
     for blk in stacked[1:]:
         state, ps = run_block(state, blk)
-        _ = np.asarray(ps[-1])
+        est.append(np.asarray(ps))
         done += BLOCK
     dt = (time.perf_counter() - t0) / max(done, 1)
-    return {"lio_fps_20k": round(1.0 / dt, 2), "lio_frames_measured": done}
+    est = np.concatenate(est)                      # (n_frames, 3)
+    errs = np.linalg.norm(est[5:] - np.asarray(gt_pos)[5:], axis=1)
+    return {"lio_fps_20k": round(1.0 / dt, 2), "lio_frames_measured": done,
+            "lio_ate_mean_m": round(float(errs.mean()), 3),
+            "lio_ate_final_m": round(float(errs[-1]), 3)}
 
 
 def config4_occupancy():
@@ -215,7 +228,7 @@ def config4_occupancy():
     pts_stack = jnp.stack([c[0] for c in clouds])
     poses = jnp.stack([jnp.asarray(c[1]) for c in clouds])
     g = insert_all(grid, pts_stack, poses)
-    jax.block_until_ready(g.logodds)
+    _ = np.asarray(g.logodds[0, 0])  # real readback (axon relay is lazy)
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):

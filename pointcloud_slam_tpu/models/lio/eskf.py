@@ -120,6 +120,8 @@ class UpdateResult(NamedTuple):
     P: jnp.ndarray
     iterations: jnp.ndarray
     converged: jnp.ndarray
+    cache: tuple = ()  # final correspondence cache from obs_fn (reference
+    # Nearest_Points role: MapIncremental reuses the last search's neighbors)
 
 
 def update_iterated(
@@ -196,4 +198,4 @@ def update_iterated(
         P0 + zero,
     )
     (x, done, _, t_conv, cache, P_new), _ = jax.lax.scan(body, init, jnp.arange(max_iter, dtype=jnp.int32))
-    return UpdateResult(x, P_new, t_conv, done)
+    return UpdateResult(x, P_new, t_conv, done, cache)

@@ -93,9 +93,17 @@ def undistort(points, t_offs, mask, table: PoseTable, x_end: st.NavState):
 
     Returns compensated points (3, N) in the lidar frame at scan end."""
     M1 = table.offs.shape[0]
-    idx = jnp.clip(jnp.searchsorted(table.offs, t_offs, side="right") - 1, 0, M1 - 1)
-    dt = t_offs - table.offs[idx]
+    # branchless interval search (the pose table is ~20 entries: a (M+1, N)
+    # broadcast-compare beats a gathering searchsorted on the VPU) and ONE
+    # packed column gather per table side — head rows [R9|pos3|vel3] at idx,
+    # tail rows [acc3|gyro3] at idx+1 — instead of ~21 scalar-row gathers
+    idx = jnp.clip(jnp.sum((t_offs[None, :] >= table.offs[:, None]).astype(jnp.int32), axis=0) - 1, 0, M1 - 1)
     tail = jnp.minimum(idx + 1, M1 - 1)
+    head_tbl = jnp.concatenate([table.R.T, table.pos.T, table.vel.T, table.offs[None, :]], axis=0)  # (16, M+1)
+    tail_tbl = jnp.concatenate([table.acc.T, table.gyro.T], axis=0)            # (6, M+1)
+    hg = head_tbl[:, idx]   # (16, N)
+    tg = tail_tbl[:, tail]  # (6, N)
+    dt = t_offs - hg[15]
 
     # lidar -> IMU frame
     eR, et = x_end.ext_R, x_end.ext_t
@@ -104,19 +112,18 @@ def undistort(points, t_offs, mask, table: PoseTable, x_end: st.NavState):
     pz = eR[2, 0] * points[0] + eR[2, 1] * points[1] + eR[2, 2] * points[2] + et[2]
 
     # R_i = R_head Exp(gyro_tail dt): apply Exp first, then R_head (both gathered)
-    gx = table.gyro[tail, 0] * dt
-    gy = table.gyro[tail, 1] * dt
-    gz = table.gyro[tail, 2] * dt
+    gx = tg[3] * dt
+    gy = tg[4] * dt
+    gz = tg[5] * dt
     px, py, pz = _rodrigues_apply(gx, gy, gz, px, py, pz)
-    Rh = table.R  # (M+1, 9) row-major
-    qx = Rh[idx, 0] * px + Rh[idx, 1] * py + Rh[idx, 2] * pz
-    qy = Rh[idx, 3] * px + Rh[idx, 4] * py + Rh[idx, 5] * pz
-    qz = Rh[idx, 6] * px + Rh[idx, 7] * py + Rh[idx, 8] * pz
+    qx = hg[0] * px + hg[1] * py + hg[2] * pz
+    qy = hg[3] * px + hg[4] * py + hg[5] * pz
+    qz = hg[6] * px + hg[7] * py + hg[8] * pz
 
     # + T_ei (world), relative to scan-end position
-    qx = qx + table.pos[idx, 0] + table.vel[idx, 0] * dt + 0.5 * table.acc[tail, 0] * dt * dt - x_end.pos[0]
-    qy = qy + table.pos[idx, 1] + table.vel[idx, 1] * dt + 0.5 * table.acc[tail, 1] * dt * dt - x_end.pos[1]
-    qz = qz + table.pos[idx, 2] + table.vel[idx, 2] * dt + 0.5 * table.acc[tail, 2] * dt * dt - x_end.pos[2]
+    qx = qx + hg[9] + hg[12] * dt + 0.5 * tg[0] * dt * dt - x_end.pos[0]
+    qy = qy + hg[10] + hg[13] * dt + 0.5 * tg[1] * dt * dt - x_end.pos[1]
+    qz = qz + hg[11] + hg[14] * dt + 0.5 * tg[2] * dt * dt - x_end.pos[2]
 
     # world -> scan-end IMU -> lidar frame
     Re = x_end.rot

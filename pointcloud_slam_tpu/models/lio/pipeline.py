@@ -34,10 +34,18 @@ from . import state as st
 @dataclasses.dataclass(frozen=True)
 class LIOConfig:
     grid: ops.GridConfig = dataclasses.field(
-        default_factory=lambda: ops.GridConfig(capacity=1 << 17, pts_per_voxel=8, resolution=0.5, nearby=7)
+        default_factory=lambda: ops.GridConfig(
+            capacity=1 << 17, pts_per_voxel=8, resolution=0.5, nearby=7, claim_rounds=2
+        )
     )
     scan_leaf: float = 0.5           # filter_size_surf (laser_mapping.cc:325)
     map_leaf: float = 0.5            # filter_size_map_min
+    # static post-downsample compaction budgets (0 = keep the padded input
+    # length). Every search/fit/insert costs O(columns) on TPU, so shrinking
+    # the point axis to the survivor count is the single biggest frame-budget
+    # lever; size above the expected downsample survivors for the lidar+leaf.
+    scan_budget: int = 10240         # points carried into the iterated update
+    insert_budget: int = 6144        # gated map-insert candidates per frame
     max_iterations: int = 4          # options::NUM_MAX_ITERATIONS
     epsi: float = 0.001              # convergence limit per error dim
     laser_point_cov: float = 0.001   # options::LASER_POINT_COV
@@ -119,8 +127,10 @@ def create_state(cfg: LIOConfig, dtype=jnp.float32) -> LIOState:
     )
 
 
-def _obs_model(cfg: LIOConfig, grid, pts_body, body_norm, mask):
-    """Builds the iterated-update observation fn over the downsampled scan."""
+def _obs_model(cfg: LIOConfig, grid, pts_body, body_norm, mask, tbl=None):
+    """Builds the iterated-update observation fn over the downsampled scan.
+    `tbl` is the per-frame prebuilt knn gather table (ops.knn_table) shared by
+    every search this frame — the map does not change between iterations."""
 
     def obs(x: st.NavState, do_search, cache):
         R_wl = x.rot @ x.ext_R
@@ -128,17 +138,17 @@ def _obs_model(cfg: LIOConfig, grid, pts_body, body_norm, mask):
         pw = R_wl @ pts_body + t_wl[:, None]
 
         def search():
-            nbrs, d2, cnt, _ = ops.knn(cfg.grid, grid, pw, k=cfg.num_match, max_range=cfg.knn_max_dist)
+            nbrs, d2, cnt, _ = ops.knn(cfg.grid, grid, pw, k=cfg.num_match, max_range=cfg.knn_max_dist, tbl=tbl)
             nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
             coef, ok = fit.plane_fit(nbrs, nmask, cfg.plane_threshold, cfg.min_match)
             sel = mask & ok & (cnt >= cfg.min_match)
-            return coef, sel, nbrs, d2
+            return coef, sel, nbrs, d2, cnt
 
         if cache is None:
-            coef, sel, nbrs, d2 = search()
+            coef, sel, nbrs, d2, cnt = search()
         else:
-            coef, sel, nbrs, d2 = jax.lax.cond(do_search, search, lambda: cache)
-        cache_new = (coef, sel, nbrs, d2)
+            coef, sel, nbrs, d2, cnt = jax.lax.cond(do_search, search, lambda: cache)
+        cache_new = (coef, sel, nbrs, d2, cnt)
 
         nx = jnp.where(sel, coef[0], 0.0)
         ny = jnp.where(sel, coef[1], 0.0)
@@ -176,12 +186,11 @@ def _obs_model(cfg: LIOConfig, grid, pts_body, body_norm, mask):
     return obs
 
 
-def _map_incremental(cfg: LIOConfig, grid, x: st.NavState, pts_body, mask, nbrs, d2, cnt_ok):
+def _map_insert_mask(cfg: LIOConfig, pw, mask, nbrs, d2, cnt_ok):
     """Insert-gating of MapIncremental (laser_mapping.cc:525-583): points whose
-    nearest map point already covers their map-voxel center are skipped."""
-    R_wl = x.rot @ x.ext_R
-    t_wl = x.rot @ x.ext_t + x.pos
-    pw = R_wl @ pts_body + t_wl[:, None]
+    nearest map point already covers their map-voxel center are skipped.
+    `nbrs/cnt_ok` are the last search's neighbors (Nearest_Points role);
+    returns the per-point insert mask over world points pw (3, N)."""
     leaf = cfg.map_leaf
     center = (jnp.floor(pw / leaf) + 0.5) * leaf
     n0 = nbrs[:, 0, :]  # nearest neighbor per point (3, N)
@@ -190,13 +199,11 @@ def _map_incremental(cfg: LIOConfig, grid, x: st.NavState, pts_body, mask, nbrs,
     far_all = jnp.all(jnp.abs(dc) > 0.5 * leaf, axis=0)
     dist_pt = jnp.sum((pw - center) ** 2, axis=0)
     dist_nb = jnp.sum((nbrs - center[:, None, :]) ** 2, axis=0)  # (k, N)
-    k = dist_nb.shape[0]
     have = jax.lax.broadcasted_iota(jnp.int32, dist_nb.shape, 0) < cnt_ok[None, :]
     closer = jnp.any(have & (dist_nb < dist_pt[None, :] + 1e-6), axis=0)
     enough = cnt_ok >= cfg.num_match
     need_add = ~(enough & closer)
-    insert_mask = mask & (far_all | need_add | (cnt_ok == 0))
-    return ops.insert(cfg.grid, grid, pw, insert_mask)
+    return mask & (far_all | need_add | (cnt_ok == 0))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -232,20 +239,29 @@ def lio_step(cfg: LIOConfig, s: LIOState, frame: LIOFrame):
         )
         # backward per-point motion compensation (lidar frame @ scan end)
         pts_u = imu.undistort(frame.pts, frame.t_offs, frame.pt_mask, table, x_end)
-        # scan downsample
+        # scan downsample + compaction to the static survivor budget
         pts_d, mask_d = ops.voxel_downsample(pts_u, frame.pt_mask, cfg.scan_leaf)
+        if cfg.scan_budget:
+            pts_d, mask_d = ops.compact(pts_d, mask_d, cfg.scan_budget)
         body_norm = jnp.sqrt(jnp.sum(pts_d * pts_d, axis=0))
-        # iterated ESKF update
-        obs = _obs_model(cfg, grid, pts_d, body_norm, mask_d)
+        # iterated ESKF update; the knn gather table is built ONCE per frame
+        # and shared by all of the update's searches
+        tbl = ops.knn_table(cfg.grid, grid)
+        obs = _obs_model(cfg, grid, pts_d, body_norm, mask_d, tbl=tbl)
         upd = eskf.update_iterated(
             x_end, P_end, obs, cfg.laser_point_cov, cfg.max_iterations, cfg.epsi
         )
-        # map insert with downsample gating (fresh NN at the updated pose)
+        # map insert with downsample gating against the last search's
+        # neighbors (Nearest_Points role — no fresh kNN pass, matching the
+        # reference's reuse of the ObsModel correspondences)
         R_wl = upd.x.rot @ upd.x.ext_R
         t_wl = upd.x.rot @ upd.x.ext_t + upd.x.pos
         pw = R_wl @ pts_d + t_wl[:, None]
-        nbrs, d2, cnt, _ = ops.knn(cfg.grid, grid, pw, k=cfg.num_match, max_range=cfg.knn_max_dist)
-        grid = _map_incremental(cfg, grid, upd.x, pts_d, mask_d, nbrs, d2, cnt)
+        _, _, nbrs, d2, cnt = upd.cache
+        ins_mask = _map_insert_mask(cfg, pw, mask_d, nbrs, d2, cnt)
+        if cfg.insert_budget:
+            pw, ins_mask = ops.compact(pw, ins_mask, cfg.insert_budget)
+        grid = ops.insert(cfg.grid, grid, pw, ins_mask)
         n_eff = jnp.sum(mask_d)
         # pose-table seed for the next frame: last valid sample's entries
         last = jnp.maximum(jnp.sum(frame.imu_mask.astype(jnp.int32)), 1)  # table idx (entry 0 = start)

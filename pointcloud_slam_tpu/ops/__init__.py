@@ -1,9 +1,12 @@
 """Core data-structure ops: voxel-hash map, downsampling, masked reductions."""
 
 from . import gaussian_grid
-from .downsample import random_decimate, voxel_downsample
+from .downsample import compact, random_decimate, voxel_downsample
 from .gaussian_grid import GaussianVoxelMap
-from .voxel_grid import GridConfig, VoxelHashMap, create, insert, knn, lookup, num_voxels, point_to_voxel, stencil_offsets
+from .voxel_grid import (
+    GridConfig, VoxelHashMap, create, insert, knn, knn_table, lookup, num_voxels,
+    point_to_voxel, stencil_offsets,
+)
 
 __all__ = [
     "gaussian_grid",
@@ -13,10 +16,12 @@ __all__ = [
     "create",
     "insert",
     "knn",
+    "knn_table",
     "lookup",
     "num_voxels",
     "point_to_voxel",
     "stencil_offsets",
     "voxel_downsample",
     "random_decimate",
+    "compact",
 ]

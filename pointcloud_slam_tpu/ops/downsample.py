@@ -14,6 +14,8 @@ needed. Clouds are (3, N) — coordinate axis leading, point axis minor.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -45,6 +47,29 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf: float):
     first_tgt = jnp.where(is_first, order, N)
     out = points.at[:, first_tgt].set(centroid[:, jnp.maximum(seg_id, 0)], mode="drop")
     out_mask = jnp.zeros((N,), bool).at[first_tgt].set(True, mode="drop")
+    return out, out_mask
+
+
+@functools.partial(jax.jit, static_argnames=("budget",))
+def compact(points: jnp.ndarray, mask: jnp.ndarray, budget: int):
+    """Pack the masked columns of (3, N) into a fixed (3, budget) array.
+
+    Every downstream op (kNN, plane fit, residuals, inserts) costs
+    O(columns) on TPU regardless of masking, so physically shrinking the
+    point axis after downsampling halves the whole frame budget (the
+    reference's filtered scan is equally a compact array,
+    laser_mapping.cc:325). Masked points beyond `budget` are dropped —
+    size the budget above the expected post-downsample survivor count.
+
+    Returns (points (3, budget), mask (budget,)).
+    """
+    N = points.shape[1]
+    budget = min(budget, N)              # never grow the point axis
+    order = jnp.argsort(~mask)           # stable: masked-True columns first
+    take = order[:budget]
+    out = points[:, take]
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    out_mask = jax.lax.broadcasted_iota(jnp.int32, (budget,), 0) < n_valid
     return out, out_mask
 
 

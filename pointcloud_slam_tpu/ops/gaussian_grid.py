@@ -27,9 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geom import fit
-from .voxel_grid import GridConfig, _claim_slots, _fingerprint, _hash3, _probe_match_fp, point_to_voxel
-
-_CLAIM_ROUNDS = 4
+from .voxel_grid import GridConfig, _claim_loop, _fingerprint, _hash3, _probe_match_fp, point_to_voxel
 
 
 class GaussianVoxelMap(NamedTuple):
@@ -68,32 +66,14 @@ def accumulate(config: GridConfig, g: GaussianVoxelMap, points: jnp.ndarray, mas
     coords = point_to_voxel(points, config.resolution)
     cx, cy, cz = coords[0], coords[1], coords[2]
     counter = jnp.ones((), jnp.int32)
-    keys, fp, occupied = g.keys, g.fp, g.occupied
-    stamp = jnp.zeros((C,), jnp.int32)
-    remaining = mask
-    slot = mask.astype(jnp.int32) * 0 + C
-
-    def claim_round(_, carry):
-        keys, fp, occupied, stamp, remaining, slot = carry
-        round_slot, is_new = _claim_slots(config, keys, occupied, stamp, counter, cx, cy, cz, remaining)
-        claim_idx = jnp.where(remaining & is_new, round_slot, C)
-        keys = keys.at[0, claim_idx].set(cx, mode="drop")
-        keys = keys.at[1, claim_idx].set(cy, mode="drop")
-        keys = keys.at[2, claim_idx].set(cz, mode="drop")
-        fp = fp.at[claim_idx].set(_fingerprint(cx, cy, cz), mode="drop")
-        occupied = occupied.at[claim_idx].set(True, mode="drop")
-        sgot = jnp.minimum(round_slot, C - 1)
-        won = remaining & (round_slot < C) & (keys[0, sgot] == cx) & (keys[1, sgot] == cy) & (keys[2, sgot] == cz)
-        slot = jnp.where(won, round_slot, slot)
-        stamp = stamp.at[jnp.where(won, round_slot, C)].set(counter, mode="drop")
-        remaining = remaining & ~won
-        return keys, fp, occupied, stamp, remaining, slot
-
-    keys, fp, occupied, stamp, remaining, slot = jax.lax.fori_loop(
-        0, _CLAIM_ROUNDS, claim_round, (keys, fp, occupied, stamp, remaining, slot)
-    )
+    stamp0 = jnp.zeros((C,), jnp.int32)
+    fp, _, _, slot = _claim_loop(config, g.fp, stamp0, counter, cx, cy, cz, mask)
 
     tgt = jnp.where(mask & (slot < C), slot, C)
+    keys = g.keys.at[0, tgt].set(cx, mode="drop")
+    keys = keys.at[1, tgt].set(cy, mode="drop")
+    keys = keys.at[2, tgt].set(cz, mode="drop")
+    occupied = g.occupied.at[tgt].set(True, mode="drop")
     x, y, z = points[0], points[1], points[2]
     s = g.sum.at[0, tgt].add(x, mode="drop").at[1, tgt].add(y, mode="drop").at[2, tgt].add(z, mode="drop")
     sq = g.sq

@@ -49,6 +49,12 @@ class GridConfig:
     resolution: float = 0.5          # voxel edge length (m)
     probe: int = 8                   # linear-probe window
     nearby: int = 7                  # stencil: 1, 7, 19 or 27 voxels
+    # scatter-race resolution rounds in insert(): 4 resolves one-shot map
+    # builds with many brand-new voxels (incl. baked-stencil expansion);
+    # per-frame odometry inserts into an established map can run 2 (losers
+    # self-heal next frame — the winner created the voxel, so the retry
+    # matches)
+    claim_rounds: int = 4
     # baked mode: the stencil is applied at INSERT time (each point is stored
     # in every voxel whose stencil covers it), so a kNN query needs ONE
     # center-voxel lookup instead of `nearby` lookups. The hardware reason:
@@ -187,39 +193,86 @@ def lookup(config: GridConfig, grid: VoxelHashMap, coords: jnp.ndarray) -> jnp.n
     return _probe_match(config, grid.keys, grid.occupied, coords[0], coords[1], coords[2])
 
 
-def _claim_slots(config: GridConfig, keys, occupied, stamp, counter, cx, cy, cz, mask):
-    """Choose a slot per insert-coord: existing match, else empty, else LRU-evict.
+def _claim_round_fast(config: GridConfig, fp, npts, stamp, counter, cx, cy, cz, remaining, slot):
+    """One scatter-race claim round over the probe window, gather-optimized.
 
-    Slots whose stamp equals the current counter were claimed earlier in this
-    same batch and are never eviction candidates, so a settled claim cannot be
-    stolen by a later round. Returns (slot, is_new) with slot == capacity for
-    points that found no slot.
+    The whole probe window's (fingerprint, LRU stamp) state arrives in ONE
+    (2P, N) column gather from a rolled table (the same trick as knn(): TPU
+    gathers are row-rate-bound, so fewer/wider gathers win — the previous
+    exact-key formulation cost ~5*P scalar gather rows per point per round,
+    ~10x this one, and dominated the whole LIO frame budget).
+
+    Matching is by 32-bit fingerprint (never 0; 0 marks an empty slot), the
+    same compromise knn() already makes on the read path. Priority: existing
+    match > empty slot > LRU-evict oldest (slots stamped `counter` were
+    claimed earlier in this batch and are protected — the iVox LRU role,
+    ivox3d.h:257-281). Claims scatter last-writer-wins, then a verify
+    re-gather marks losers `remaining` for the next round.
+
+    Returns (fp, npts, stamp, remaining, slot, fpq) with slot==capacity for
+    unresolved points.
     """
-    C = config.capacity
+    C, P = config.capacity, config.probe
     h0 = _hash3(cx, cy, cz, C)
-    big = jnp.int32(C)
-    zero = h0 * 0
-    match_slot = zero + big
-    empty_slot = zero + big
-    evict_slot = zero + big
-    evict_stamp = zero + jnp.iinfo(jnp.int32).max
-    for j in range(config.probe):
-        s = (h0 + j) & (C - 1)
-        occ = occupied[s]
-        match = occ & (keys[0, s] == cx) & (keys[1, s] == cy) & (keys[2, s] == cz)
-        match_slot = jnp.where((match_slot >= big) & match, s, match_slot)
-        empty_slot = jnp.where((empty_slot >= big) & ~occ, s, empty_slot)
-        st = stamp[s]
-        better = occ & (st < counter) & (st < evict_stamp)
-        evict_slot = jnp.where(better, s, evict_slot)
-        evict_stamp = jnp.where(better, st, evict_stamp)
-    slot = jnp.where(match_slot < big, match_slot, jnp.where(empty_slot < big, empty_slot, evict_slot))
-    is_new = match_slot >= big
-    slot = jnp.where(mask, slot, big)  # unmasked -> out-of-bounds (scatter mode="drop")
-    return slot, is_new
+    fpq = _fingerprint(cx, cy, cz)
+    stamp_u = stamp.astype(jnp.uint32)
+    tbl = jnp.concatenate(
+        [
+            jnp.stack([jnp.roll(fp, -j) for j in range(P)], 0),
+            jnp.stack([jnp.roll(stamp_u, -j) for j in range(P)], 0),
+        ],
+        axis=0,
+    )                                        # (2P, C)
+    g = tbl[:, h0]                           # (2P, N) — ONE column gather
+    fpg, stg = g[:P], g[P:]
+    match = fpg == fpq[None, :]
+    empty = fpg == jnp.uint32(0)
+    has_match = jnp.any(match, axis=0)
+    jm = jnp.argmax(match, axis=0).astype(jnp.int32)
+    has_empty = jnp.any(empty, axis=0)
+    je = jnp.argmax(empty, axis=0).astype(jnp.int32)
+    old = (~empty) & (stg < counter.astype(jnp.uint32))
+    ev = jnp.where(old, stg, jnp.uint32(0xFFFFFFFF))
+    jv = jnp.argmin(ev, axis=0).astype(jnp.int32)
+    has_evict = jnp.any(old, axis=0)
+    j = jnp.where(has_match, jm, jnp.where(has_empty, je, jv))
+    ok = remaining & (has_match | has_empty | has_evict)
+    s = (h0 + j) & (C - 1)
+    newc = ok & ~has_match
+    tgt_new = jnp.where(newc, s, C)
+    fp = fp.at[tgt_new].set(fpq, mode="drop")
+    npts = npts.at[tgt_new].set(0, mode="drop") if npts is not None else None
+    stamp = stamp.at[jnp.where(ok, s, C)].set(counter, mode="drop")
+    won = ok & (fp[s] == fpq)                # verify re-gather
+    slot = jnp.where(won, s, slot)
+    remaining = remaining & ~won
+    return fp, npts, stamp, remaining, slot
 
 
-_CLAIM_ROUNDS = 4
+def _claim_loop(config: GridConfig, fp, stamp, counter, cx, cy, cz, mask, npts=None, rounds=None):
+    """Run the claim rounds. Returns (fp, npts, stamp, slot) with slot ==
+    capacity for unresolved/unmasked points. `npts` (per-voxel point count,
+    reset to 0 on a fresh claim) is optional — the Gaussian grid accumulates
+    moments instead and passes None."""
+    C = config.capacity
+    if rounds is None:
+        rounds = config.claim_rounds
+    remaining = mask
+    slot = cx * 0 + C
+    if npts is None:
+        def body(_, c):
+            fp, stamp, remaining, slot = c
+            fp, _, stamp, remaining, slot = _claim_round_fast(
+                config, fp, None, stamp, counter, cx, cy, cz, remaining, slot)
+            return fp, stamp, remaining, slot
+        fp, stamp, remaining, slot = jax.lax.fori_loop(0, rounds, body, (fp, stamp, remaining, slot))
+        return fp, None, stamp, slot
+    def body(_, c):
+        fp, npts, stamp, remaining, slot = c
+        return _claim_round_fast(config, fp, npts, stamp, counter, cx, cy, cz, remaining, slot)
+    fp, npts, stamp, remaining, slot = jax.lax.fori_loop(
+        0, rounds, body, (fp, npts, stamp, remaining, slot))
+    return fp, npts, stamp, slot
 
 
 @functools.partial(jax.jit, static_argnames=("config", "return_indices"))
@@ -247,41 +300,17 @@ def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jn
     N = points.shape[1]
     cx, cy, cz = coords[0], coords[1], coords[2]
     counter = grid.counter + 1  # fresh stamp for this batch
-    keys, fp, occupied, npts, stamp = grid.keys, grid.fp, grid.occupied, grid.npts, grid.stamp
-    remaining = mask
-    slot = mask.astype(jnp.int32) * 0 + C
-
-    # rolled claim rounds (fori): one probe-loop body in the HLO instead of
-    # four — insert runs once per frame so the loop carry costs nothing, but
-    # the graph size matters for whole-pipeline compile times
-    def claim_round(_, carry):
-        keys, fp, occupied, npts, stamp, remaining, slot = carry
-        round_slot, is_new = _claim_slots(config, keys, occupied, stamp, counter, cx, cy, cz, remaining)
-        claim_idx = jnp.where(remaining & is_new, round_slot, C)
-        keys = keys.at[0, claim_idx].set(cx, mode="drop")
-        keys = keys.at[1, claim_idx].set(cy, mode="drop")
-        keys = keys.at[2, claim_idx].set(cz, mode="drop")
-        fp = fp.at[claim_idx].set(_fingerprint(cx, cy, cz), mode="drop")
-        occupied = occupied.at[claim_idx].set(True, mode="drop")
-        npts = npts.at[claim_idx].set(0, mode="drop")
-        sgot = jnp.minimum(round_slot, C - 1)
-        won = (
-            remaining
-            & (round_slot < C)
-            & (keys[0, sgot] == cx)
-            & (keys[1, sgot] == cy)
-            & (keys[2, sgot] == cz)
-        )
-        slot = jnp.where(won, round_slot, slot)
-        stamp = stamp.at[jnp.where(won, round_slot, C)].set(counter, mode="drop")
-        remaining = remaining & ~won
-        return keys, fp, occupied, npts, stamp, remaining, slot
-
-    keys, fp, occupied, npts, stamp, remaining, slot = jax.lax.fori_loop(
-        0, _CLAIM_ROUNDS, claim_round, (keys, fp, occupied, npts, stamp, remaining, slot)
-    )
+    keys, occupied = grid.keys, grid.occupied
+    fp, npts, stamp, slot = _claim_loop(config, grid.fp, grid.stamp, counter, cx, cy, cz, mask, npts=grid.npts)
 
     ok = mask & (slot < C)
+    # exact keys + occupancy written once at the settled slots (matched slots
+    # re-write their identical coords — harmless; the in-round state is fp-only)
+    tgt = jnp.where(ok, slot, C)
+    keys = keys.at[0, tgt].set(cx, mode="drop")
+    keys = keys.at[1, tgt].set(cy, mode="drop")
+    keys = keys.at[2, tgt].set(cz, mode="drop")
+    occupied = occupied.at[tgt].set(True, mode="drop")
 
     # in-batch rank within each slot (stable sort by slot, rank = i - first_occ)
     order = jnp.argsort(slot)
@@ -312,8 +341,36 @@ def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jn
     return new_grid
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def knn_table(config: GridConfig, grid: VoxelHashMap) -> jnp.ndarray:
+    """Prebuild knn()'s rolled probe-window gather table (P*(1+3K), C).
+
+    The table is a pure function of the map; rebuilding it inside every knn
+    call costs a (P*(1+3K)*C*4)-byte HBM copy per search (~100 MB for the
+    production config — ~1.5 ms/frame across the iterated update's searches).
+    Callers that search the SAME map several times per frame (the LIO
+    iterated update) build it once and pass it via knn(..., tbl=...)."""
+    C, K, P = config.capacity, config.pts_per_voxel, config.probe
+    fp_cnt = (grid.fp & jnp.uint32(0xFFFFFFC0)) | jnp.minimum(grid.npts, K).astype(jnp.uint32)
+    pts2d = grid.pts.reshape(3 * K, C)
+    return jnp.concatenate(
+        [
+            jnp.concatenate(
+                [
+                    jnp.roll(fp_cnt, -j)[None, :],
+                    jax.lax.bitcast_convert_type(jnp.roll(pts2d, -j, axis=1), jnp.uint32),
+                ],
+                axis=0,
+            )
+            for j in range(P)
+        ],
+        axis=0,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("config", "k"))
-def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5, max_range: float = 5.0):
+def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5, max_range: float = 5.0,
+        tbl: jnp.ndarray = None):
     """k nearest map points for each query over the stencil neighborhood.
 
     queries (3, N) -> (neighbors (3, k, N), d2 (k, N), count (N,), idx (k, N)).
@@ -351,21 +408,8 @@ def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5
     # amortized over the 20k-point query pass it accelerates.
     fp_cnt = (grid.fp & jnp.uint32(0xFFFFFFC0)) | jnp.minimum(grid.npts, K).astype(jnp.uint32)  # 6-bit count, K <= 63
     blk = 1 + 3 * K
-    if not config.baked:
-        pts2d = grid.pts.reshape(3 * K, C)                                  # rows: x0..xK-1,y...,z...
-        tbl = jnp.concatenate(
-            [
-                jnp.concatenate(
-                    [
-                        jnp.roll(fp_cnt, -j)[None, :],
-                        jax.lax.bitcast_convert_type(jnp.roll(pts2d, -j, axis=1), jnp.uint32),
-                    ],
-                    axis=0,
-                )
-                for j in range(P)
-            ],
-            axis=0,
-        )                                                                    # (P*(1+3K), C) uint32
+    if not config.baked and tbl is None:
+        tbl = knn_table(config, grid)                                        # (P*(1+3K), C) uint32
 
     zero = qx * 0
     # running best registers as stacked arrays updated with static-index
