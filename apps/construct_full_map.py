@@ -35,6 +35,11 @@ def main():
     p.add_argument("--floor_labels", default="", help="file with one integer floor label per "
                    "keyframe: one occupancy map per floor (OccupancyServerFromFile :445-595; "
                    "label 0 saves without a suffix, negative labels are skipped)")
+    p.add_argument("--feature_maps", default="", help="also build corner/surf feature tile maps "
+                   "at this directory (the globalCornerMap/globalSurfMap products that "
+                   "new_localization.cpp:309-321 loads): requires Scans/%%06d.pcd + "
+                   "%%06d_corner.pcd artifacts (run_slam_offline --save_artifacts)")
+    p.add_argument("--tile", type=float, default=50.0, help="feature-map tile edge [m]")
     args = p.parse_args()
 
     from pointcloud_slam_tpu import ops
@@ -43,6 +48,14 @@ def main():
 
     poses = np.loadtxt(os.path.join(args.keyframe_dir, args.poses)).reshape(-1, 3, 4)
     frames = sorted(f for f in os.listdir(args.keyframe_dir) if f.startswith("key_") and f.endswith(".pcd"))
+    if not frames and os.path.isdir(os.path.join(args.keyframe_dir, "Scans")):
+        # run_slam_offline --save_artifacts layout: Scans/%06d.pcd keyframe
+        # surf clouds (the saveKeyFramesAndFactor product, :1868-1880)
+        frames = sorted(
+            os.path.join("Scans", f)
+            for f in os.listdir(os.path.join(args.keyframe_dir, "Scans"))
+            if f.endswith(".pcd") and "_corner" not in f
+        )
     assert len(frames) <= len(poses), f"{len(frames)} keyframes but {len(poses)} poses"
 
     clouds = []
@@ -75,6 +88,44 @@ def main():
         full = np.asarray(out).T[np.asarray(om)]
     pcdio.write_pcd(args.out, full)
     print(f"full map ({len(full)} pts after {args.leaf} m leaf) -> {args.out}")
+
+    if args.feature_maps:
+        # corner/surf feature tile maps from the per-keyframe feature
+        # artifacts: each family is accumulated in world frame, split into
+        # --tile m AABB tiles, and indexed by an arealist.csv — the exact
+        # products `new_localization` consumes (read_arealist + create_pcd,
+        # new_localization.cpp:309-321, dynamic_map.h:16-187)
+        scans_dir = os.path.join(args.keyframe_dir, "Scans")
+        fams = {"surf": "%06d.pcd", "corner": "%06d_corner.pcd"}
+        os.makedirs(args.feature_maps, exist_ok=True)
+        for fam, pat in fams.items():
+            clouds = []
+            for k in range(len(frames)):
+                path = os.path.join(scans_dir, pat % k)
+                if not os.path.exists(path):
+                    continue
+                pts = pcdio.read_pcd_xyz(path)
+                if len(pts) == 0:
+                    continue
+                R, t = poses[k, :, :3], poses[k, :, 3]
+                clouds.append(pts @ R.T + t)
+            if not clouds:
+                print(f"feature maps: no {fam} artifacts found, skipped")
+                continue
+            w = np.concatenate(clouds).astype(np.float32)
+            T = args.tile
+            tx = np.floor(w[:, 0] / T).astype(np.int64)
+            ty = np.floor(w[:, 1] / T).astype(np.int64)
+            rows = []
+            for key in sorted(set(zip(tx.tolist(), ty.tolist()))):
+                m = (tx == key[0]) & (ty == key[1])
+                name = f"{fam}_{key[0]}_{key[1]}.pcd"
+                pcdio.write_pcd(os.path.join(args.feature_maps, name), w[m])
+                x0, y0 = key[0] * T, key[1] * T
+                rows.append(f"{name},{x0},{y0},0,{x0 + T},{y0 + T},0")
+            with open(os.path.join(args.feature_maps, f"{fam}_arealist.csv"), "w") as f:
+                f.write("\n".join(rows) + "\n")
+            print(f"{fam} feature map: {len(w)} pts, {len(rows)} tiles -> {args.feature_maps}")
 
     if args.occupancy:
         cfg = occupancy.OccupancyConfig(

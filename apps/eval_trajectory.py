@@ -18,6 +18,27 @@ def load_tum(path):
     return data[:, 0], data[:, 1:4], data[:, 4:8]  # t, xyz, quat xyzw
 
 
+def rot_to_quat(R):
+    w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
+    if w < 1e-9:
+        return np.array([0.0, 0.0, 0.0, 1.0])
+    return np.array([(R[2, 1] - R[1, 2]) / (4 * w), (R[0, 2] - R[2, 0]) / (4 * w),
+                     (R[1, 0] - R[0, 1]) / (4 * w), w])
+
+
+def load_kitti(path, rate_hz=10.0):
+    """KITTI odometry format (row-major 3x4 per line). Poses are made
+    frame-0-relative (the est trajectory convention) and stamped at
+    frame_index / rate — the association path is then shared with TUM."""
+    data = np.loadtxt(path).reshape(-1, 3, 4)
+    R0, t0 = data[0, :, :3], data[0, :, 3]
+    pos = np.einsum("ij,kj->ki", R0.T, data[:, :, 3] - t0)
+    Rs = np.einsum("ij,kjl->kil", R0.T, data[:, :, :3])
+    quat = np.stack([rot_to_quat(R) for R in Rs])
+    t = np.arange(len(data)) / rate_hz
+    return t, pos, quat
+
+
 def quat_to_rot(q):
     x, y, z, w = q
     n = x * x + y * y + z * z + w * w
@@ -89,9 +110,13 @@ def main():
     p.add_argument("gt", help="ground truth TUM file")
     p.add_argument("est", help="estimated TUM file")
     p.add_argument("--delta", type=float, default=1.0, help="RPE delta [s]")
+    p.add_argument("--format", default="tum", choices=["tum", "kitti"],
+                   help="kitti: both files are row-major 3x4 pose lines "
+                   "(fast_gicp/src/kitti.cpp output + KITTI poses.txt)")
     args = p.parse_args()
-    gt_t, gt_p, gt_q = load_tum(args.gt)
-    et, ep, eq = load_tum(args.est)
+    load = load_tum if args.format == "tum" else load_kitti
+    gt_t, gt_p, gt_q = load(args.gt)
+    et, ep, eq = load(args.est)
     ia, ib = associate(gt_t, et)
     if len(ia) < 2:
         print("no associations", file=sys.stderr)

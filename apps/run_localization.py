@@ -32,6 +32,10 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--map_dir", default="", help="tile map dir with arealist.csv")
     p.add_argument("--map_pcd", default="", help="single prior map PCD")
+    p.add_argument("--feature_map_dir", default="", help="corner/surf feature tile map dir "
+                   "(construct_full_map --feature_maps): enables the feature-based LOAM path "
+                   "(the globalCornerMap/globalSurfMap products new_localization.cpp:309-321 "
+                   "loads); implies --method loam")
     p.add_argument("--data_dir", default="")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--method", default="ndt", choices=["loam", "ndt"])
@@ -42,6 +46,12 @@ def parse_args():
     p.add_argument("--lever_arm", default="0,0,0", help="Pil lidar-in-body lever arm (m)")
     p.add_argument("--out_dir", default="loc_out")
     p.add_argument("--n_points", type=int, default=8192)
+    p.add_argument("--n_corner", type=int, default=512, help="LOAM corner-channel budget")
+    p.add_argument("--n_surf", type=int, default=2048, help="LOAM surf-channel budget")
+    p.add_argument("--n_scan", type=int, default=16, help="range-image rings (N_SCAN)")
+    p.add_argument("--horizon", type=int, default=1800, help="range-image columns (Horizon_SCAN)")
+    p.add_argument("--fov_up", type=float, default=15.0)
+    p.add_argument("--fov_down", type=float, default=-15.0)
     p.add_argument("--max_range", type=float, default=50.0)
     p.add_argument("--update_map_dist", type=float, default=10.0, help="re-tile when moved this far")
     p.add_argument("--tile_margin", type=float, default=100.0)
@@ -63,25 +73,60 @@ class TileMapLoader:
         self.single = None
         if args.map_dir:
             self.areas = pcdio.read_arealist(os.path.join(args.map_dir, "arealist.csv"))
+        # feature tile maps (corner/surf families — the globalCornerMap /
+        # globalSurfMap tile products, new_localization.cpp:309-321)
+        self.feat_areas = None
+        if args.feature_map_dir:
+            self.feat_areas = {}
+            for fam in ("corner", "surf"):
+                path = os.path.join(args.feature_map_dir, f"{fam}_arealist.csv")
+                self.feat_areas[fam] = pcdio.read_arealist(path) if os.path.exists(path) else []
         self.maps = None
+        self.feat_maps = None
+
+    def _crop(self, cloud, x, y):
+        # crop to 1.1 x max_range around the pose (dynamic_load_map :256-280)
+        r = 1.1 * self.args.max_range
+        sel = (np.abs(cloud[:, 0] - x) < r) & (np.abs(cloud[:, 1] - y) < r)
+        return cloud[sel] if sel.any() else cloud[:1]
+
+    def _gather_tiles(self, areas, base_dir, x, y):
+        tiles = self.pcdio.tiles_for_position(areas, x, y, margin=self.args.tile_margin)
+        clouds = [self.pcdio.read_pcd_xyz(os.path.join(base_dir, a["path"])) for a in tiles]
+        return np.concatenate(clouds) if clouds else np.zeros((1, 3), np.float32)
+
+    def maybe_update_features(self, x, y):
+        """Device corner/surf maps from the feature tiles around (x, y)."""
+        if (self.last_xy is not None and self.feat_maps is not None
+                and np.hypot(x - self.last_xy[0], y - self.last_xy[1]) < self.args.update_map_dist):
+            return self.feat_maps
+        self.last_xy = (x, y)
+        from pointcloud_slam_tpu import ops
+
+        maps = {}
+        for fam, grid_cfg in (("corner", self.cfg.scan2map.corner_grid),
+                              ("surf", self.cfg.scan2map.surf_grid)):
+            cloud = self._gather_tiles(self.feat_areas[fam], self.args.feature_map_dir, x, y) \
+                if self.feat_areas[fam] else np.zeros((1, 3), np.float32)
+            cloud = self._crop(cloud.astype(np.float32), x, y)
+            pts = jnp.asarray(np.ascontiguousarray(cloud.T))
+            grid = ops.create(grid_cfg, dtype=pts.dtype)
+            maps[fam] = ops.insert(grid_cfg, grid, pts, jnp.ones(pts.shape[1], bool))
+        self.feat_maps = (maps["corner"], maps["surf"])
+        return self.feat_maps
 
     def maybe_update(self, x, y):
         if self.last_xy is not None and np.hypot(x - self.last_xy[0], y - self.last_xy[1]) < self.args.update_map_dist and self.maps is not None:
             return self.maps
         self.last_xy = (x, y)
         if self.areas is not None:
-            tiles = self.pcdio.tiles_for_position(self.areas, x, y, margin=self.args.tile_margin)
-            clouds = [self.pcdio.read_pcd_xyz(os.path.join(self.args.map_dir, a["path"])) for a in tiles]
-            cloud = np.concatenate(clouds) if clouds else np.zeros((1, 3), np.float32)
+            cloud = self._gather_tiles(self.areas, self.args.map_dir, x, y)
         else:
             if self.single is None:
                 self.single = self.pcdio.read_pcd_xyz(self.args.map_pcd)
             cloud = self.single
-        # crop to 1.1 x max_range around the pose (dynamic_load_map :256-280)
-        r = 1.1 * self.args.max_range
-        sel = (np.abs(cloud[:, 0] - x) < r) & (np.abs(cloud[:, 1] - y) < r)
-        cloud = cloud[sel] if sel.any() else cloud[:1]
-        self.maps = self._build(cloud.astype(np.float32))
+        cloud = self._crop(cloud.astype(np.float32), x, y)
+        self.maps = self._build(cloud)
         return self.maps
 
     def _build(self, cloud):
@@ -103,6 +148,8 @@ def main():
     from pointcloud_slam_tpu.utils import checkpoint as ck
 
     os.makedirs(args.out_dir, exist_ok=True)
+    if args.feature_map_dir:
+        args.method = "loam"
     cfg = loc.LocalizationConfig(method=args.method)
 
     from pointcloud_slam_tpu.io import odom_feed
@@ -124,6 +171,35 @@ def main():
     )
 
     loader = TileMapLoader(args, cfg)
+
+    # in-loop LOAM front end: range-image projection + feature extraction,
+    # the imageProjection/featureExtraction stages new_localization runs
+    # before corner/surf matching (new_localization.cpp:77-2081)
+    from pointcloud_slam_tpu.models.liosam import features as feats_mod
+    from pointcloud_slam_tpu.models.liosam import projection as proj_mod
+
+    pcfg = proj_mod.ProjectionConfig(n_scan=args.n_scan, horizon=args.horizon,
+                                     fov_up_deg=args.fov_up, fov_down_deg=args.fov_down,
+                                     min_range=0.5)
+    fcfg = feats_mod.FeatureConfig()
+
+    @jax.jit
+    def front_end(pts, mask):
+        img = proj_mod.project(pcfg, pts, mask)
+        fs = feats_mod.extract(fcfg, img)
+        cpts, cmask = feats_mod.gather_features(img, fs.edge_mask)
+        spts, smask = feats_mod.gather_features(img, fs.surf_mask)
+        return cpts, cmask, spts, smask
+
+    def fixed(pts, mask, n):
+        """Top-n masked points into a fixed-shape (3, n) cloud."""
+        idx = np.argsort(~np.asarray(mask))[:n]
+        out = np.zeros((3, n), np.float32)
+        m = np.zeros(n, bool)
+        sel = np.asarray(mask)[idx]
+        out[:, : sel.sum()] = np.asarray(pts)[:, idx[sel]]
+        m[: sel.sum()] = True
+        return jnp.asarray(out), jnp.asarray(m)
 
     def frames():
         if args.synthetic:
@@ -159,15 +235,24 @@ def main():
         pj, mj = jnp.asarray(buf), jnp.asarray(m)
 
         x, y = float(pose.t[0]), float(pose.t[1])
-        grid_cfg, point_map, ndt_grid, ndt_map = loader.maybe_update(x, y)
 
         if args.method == "ndt":
+            grid_cfg, point_map, ndt_grid, ndt_map = loader.maybe_update(x, y)
             res = loc.localize_ndt(cfg, ndt_grid, ndt_map, grid_cfg, point_map, pj, mj, pose)
+        elif args.feature_map_dir:
+            # feature-based LOAM: in-loop projection + extraction, corner
+            # features against the corner tile map, surf against the surf map
+            corner_map, surf_map = loader.maybe_update_features(x, y)
+            cpts, cmask, spts, smask = front_end(pj, mj)
+            c, cm = fixed(cpts, cmask, args.n_corner)
+            s, sm = fixed(spts, smask, args.n_surf)
+            res = loc.localize_loam(cfg, None, corner_map, surf_map, c, cm, s, sm, pose)
         else:
             from pointcloud_slam_tpu import ops
 
             # LOAM mode against a raw tile map: surf-plane matching only
-            # (corner channel empty — the reference's tile maps are raw clouds)
+            # (corner channel empty — raw tiles carry no feature split)
+            grid_cfg, point_map, ndt_grid, ndt_map = loader.maybe_update(x, y)
             empty_corner = ops.create(cfg.scan2map.corner_grid)
             no_c = jnp.zeros((3, 8), jnp.float32)
             no_cm = jnp.zeros(8, bool)

@@ -96,12 +96,20 @@ def frames_from_dir(args):
         pts = np.stack([cloud["x"], cloud["y"], cloud["z"]], axis=1).astype(np.float32)
         t0 = scan_times[k]
         t1 = scan_times[k + 1] if k + 1 < len(scan_times) else t0 + 0.1
-        sel = (imu[:, 0] > t0) & (imu[:, 0] <= t1)
+        # imu.csv rows are (t_i, measurement at t_i); sample i drives the
+        # state from t_i to t_{i+1} (the ImuProcess convention). The frame
+        # wants the measurements whose INTERVAL lies in [t0, t1), stamped at
+        # their interval END (make_frame's imu_t are post-step offsets —
+        # see tests/test_lio.simulate_sequence, the convention oracle).
+        t_all = imu[:, 0]
+        dt_all = np.diff(t_all, append=t_all[-1] + (t_all[-1] - t_all[-2] if len(t_all) > 1 else 0.005))
+        sel = (t_all >= t0) & (t_all < t1)
         chunk = imu[sel]
+        t_end = (t_all[sel] - t0) + dt_all[sel]
         t_offs = converters.point_times_from_cloud(cloud, scan_duration=float(t1 - t0))
         yield feed.make_frame(
             pts, t_offs, chunk[:, 1:4].astype(np.float32), chunk[:, 4:7].astype(np.float32),
-            (chunk[:, 0] - t0).astype(np.float32), args.n_points, args.n_imu,
+            t_end.astype(np.float32), args.n_points, args.n_imu, prev_imu_t=0.0,
         ), t1
 
 

@@ -15,7 +15,7 @@ The process model is `src/jueying_lio/include/use-ikfom.hpp:35-72`
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -131,6 +131,7 @@ def update_iterated(
     R: float,
     max_iter: int = 4,
     epsi: float = 0.001,
+    reduce: Optional[Callable] = None,
 ) -> UpdateResult:
     """Iterated measurement update, small-state path (n <= measurements).
 
@@ -142,6 +143,11 @@ def update_iterated(
     The initial cache is a zero-filled pytree of the correct structure
     (obtained by abstract evaluation — no device compute); the first scan
     iteration runs with do_search=True and performs the only initial search.
+
+    `reduce` is applied to the (HTH, HTh) pair after the local point
+    reduction — the point-axis sharding hook (parallel.sharded_lio passes a
+    psum over the mesh axis so each device only linearizes its point chunk;
+    every other term is replicated small-state math).
     """
     dtype = P0.dtype
     # structure-only evaluation: never executes the search on device
@@ -161,10 +167,13 @@ def update_iterated(
         P = T @ P0 @ T.T
 
         HTH = h_x.T @ h_x  # (12, 12) — MXU reduction over points
+        HTh = h_x.T @ h
+        if reduce is not None:
+            HTH, HTh = reduce((HTH, HTh))
         P_temp = jnp.linalg.inv(P / R)
         P_temp = P_temp.at[:_H_COLS, :_H_COLS].add(HTH)
         P_inv = jnp.linalg.inv(P_temp)
-        K_h = P_inv[:, :_H_COLS] @ (h_x.T @ h)
+        K_h = P_inv[:, :_H_COLS] @ HTh
         K_x12 = P_inv[:, :_H_COLS] @ HTH  # (23, 12)
 
         # dx = K_h + (K_x - I) dx_new, with K_x nonzero only in its first 12 cols

@@ -260,42 +260,56 @@ def _imu_local_residual(dxi, dxj, Ri, ti, vi, bgi, bai, Rj, tj, vj, pim, grav):
     return pre.residual(pim, Ri_, ti_, vi_, Rj_, tj_, vj_, bgi_, bai_, grav)
 
 
-def _graph_terms(cfg: BackendConfig, g: PoseGraph):
+def _graph_terms(cfg: BackendConfig, g: PoseGraph, kf_slots=None, loop_slots=None):
     """Assemble the padded per-factor arrays over ALL factor families.
 
     Returns (fi, fj, Ji (F, RMAX, D), Jj, e (F, RMAX), info (F, RMAX)).
     Inactive rows carry zero information.
+
+    `kf_slots` / `loop_slots` restrict linearization to a SUBSET of the
+    per-keyframe factor slots (odometry/IMU/bias share slot k between nodes
+    k-1, k) and loop slots — the factor-sharded backend passes each device
+    its own slot range so the expensive vmapped-jacfwd IMU linearization is
+    computed once per shard, never replicated. Slot values >= the table size
+    are inert (zero information; their scatters are dropped). The returned
+    `B` holds only the slots' sub-diagonal contributions — shards must psum
+    it before `chain_factor`.
     """
     KF = cfg.max_keyframes
     L = g.loop_i.shape[0]
     dtype = g.t.dtype
-    idx = jnp.arange(KF)
+    idx = jnp.arange(KF) if kf_slots is None else kf_slots
+    lidx = jnp.arange(L) if loop_slots is None else loop_slots
+    nk = idx.shape[0]
 
     # ---- odometry between factors (slots 1..n-1; i = k-1, j = k) ----
     o_act = (idx >= 1) & (idx < g.n)
     oi = jnp.maximum(idx - 1, 0)
-    oj = idx
+    oj = idx  # gathers clamp out-of-range rows; o_act zeroes their info
     Ji6_o = _between_jacobians(g.R[oi], g.t[oi], g.R[oj], g.t[oj])
-    e6_o = _between_residual(g.R[oi], g.t[oi], g.R[oj], g.t[oj], g.odom_R, g.odom_t)
-    Ji_o, Jj_o = _pad_between(Ji6_o, KF, dtype)
-    e_o = jnp.zeros((KF, RMAX), dtype).at[:, 0:6].set(e6_o)
-    info_o = jnp.zeros((KF, RMAX), dtype).at[:, 0:6].set(g.odom_info * o_act[:, None])
+    e6_o = _between_residual(g.R[oi], g.t[oi], g.R[oj], g.t[oj], g.odom_R[idx], g.odom_t[idx])
+    Ji_o, Jj_o = _pad_between(Ji6_o, nk, dtype)
+    e_o = jnp.zeros((nk, RMAX), dtype).at[:, 0:6].set(e6_o)
+    info_o = jnp.zeros((nk, RMAX), dtype).at[:, 0:6].set(g.odom_info[idx] * o_act[:, None])
 
     # ---- loop between factors, Cauchy-robust IRLS weight ----
-    l_act = jnp.arange(L) < g.n_loops
-    li, lj = g.loop_i, g.loop_j
+    l_act = lidx < g.n_loops
+    li, lj = g.loop_i[lidx], g.loop_j[lidx]
+    loop_R, loop_t, loop_info = g.loop_R[lidx], g.loop_t[lidx], g.loop_info[lidx]
+    nl = lidx.shape[0]
     Ji6_l = _between_jacobians(g.R[li], g.t[li], g.R[lj], g.t[lj])
-    e6_l = _between_residual(g.R[li], g.t[li], g.R[lj], g.t[lj], g.loop_R, g.loop_t)
-    chi2 = jnp.sum(e6_l * e6_l * g.loop_info, axis=-1)
+    e6_l = _between_residual(g.R[li], g.t[li], g.R[lj], g.t[lj], loop_R, loop_t)
+    chi2 = jnp.sum(e6_l * e6_l * loop_info, axis=-1)
     c2 = cfg.loop_cauchy_c ** 2
-    w_rob = jnp.where(g.loop_robust, c2 / (c2 + chi2), 1.0)
-    Ji_l, Jj_l = _pad_between(Ji6_l, L, dtype)
-    e_l = jnp.zeros((L, RMAX), dtype).at[:, 0:6].set(e6_l)
-    info_l = jnp.zeros((L, RMAX), dtype).at[:, 0:6].set(g.loop_info * (l_act * w_rob)[:, None])
+    w_rob = jnp.where(g.loop_robust[lidx], c2 / (c2 + chi2), 1.0)
+    Ji_l, Jj_l = _pad_between(Ji6_l, nl, dtype)
+    e_l = jnp.zeros((nl, RMAX), dtype).at[:, 0:6].set(e6_l)
+    info_l = jnp.zeros((nl, RMAX), dtype).at[:, 0:6].set(loop_info * (l_act * w_rob)[:, None])
 
     # ---- IMU preintegration factors (slot k between k-1, k) ----
-    i_act = o_act & g.imu_mask
-    z15 = jnp.zeros((KF, D), dtype)
+    i_act = o_act & g.imu_mask[idx]
+    z15 = jnp.zeros((nk, D), dtype)
+    pim = jax.tree.map(lambda a: a[idx], g.imu_pim)
     jac = jax.vmap(
         jax.jacfwd(_imu_local_residual, argnums=(0, 1)),
         in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None),
@@ -303,24 +317,24 @@ def _graph_terms(cfg: BackendConfig, g: PoseGraph):
     Ji_i9, Jj_i9 = jac(
         z15, z15,
         g.R[oi], g.t[oi], g.vel[oi], g.bg[oi], g.ba[oi],
-        g.R[oj], g.t[oj], g.vel[oj], g.imu_pim, g.grav,
+        g.R[oj], g.t[oj], g.vel[oj], pim, g.grav,
     )
     e9_i = jax.vmap(pre.residual, in_axes=(0,) * 9 + (None,))(
-        g.imu_pim, g.R[oi], g.t[oi], g.vel[oi], g.R[oj], g.t[oj], g.vel[oj],
+        pim, g.R[oi], g.t[oi], g.vel[oi], g.R[oj], g.t[oj], g.vel[oj],
         g.bg[oi], g.ba[oi], g.grav,
     )
-    info_i = g.imu_info * i_act[:, None]
+    info_i = g.imu_info[idx] * i_act[:, None]
 
     # ---- bias random-walk between factors ----
     e6_b = jnp.concatenate([g.bg[oj] - g.bg[oi], g.ba[oj] - g.ba[oi]], axis=-1)
-    Ji_b = jnp.zeros((KF, RMAX, D), dtype).at[:, 0:6, 9:15].set(
-        jnp.broadcast_to(-jnp.eye(6, dtype=dtype), (KF, 6, 6))
+    Ji_b = jnp.zeros((nk, RMAX, D), dtype).at[:, 0:6, 9:15].set(
+        jnp.broadcast_to(-jnp.eye(6, dtype=dtype), (nk, 6, 6))
     )
-    Jj_b = jnp.zeros((KF, RMAX, D), dtype).at[:, 0:6, 9:15].set(
-        jnp.broadcast_to(jnp.eye(6, dtype=dtype), (KF, 6, 6))
+    Jj_b = jnp.zeros((nk, RMAX, D), dtype).at[:, 0:6, 9:15].set(
+        jnp.broadcast_to(jnp.eye(6, dtype=dtype), (nk, 6, 6))
     )
-    e_b = jnp.zeros((KF, RMAX), dtype).at[:, 0:6].set(e6_b)
-    info_b = jnp.zeros((KF, RMAX), dtype).at[:, 0:6].set(g.bias_info * i_act[:, None])
+    e_b = jnp.zeros((nk, RMAX), dtype).at[:, 0:6].set(e6_b)
+    info_b = jnp.zeros((nk, RMAX), dtype).at[:, 0:6].set(g.bias_info[idx] * i_act[:, None])
 
     fi = jnp.concatenate([oi, li, oi, oi])
     fj = jnp.concatenate([oj, lj, oj, oj])
@@ -330,7 +344,7 @@ def _graph_terms(cfg: BackendConfig, g: PoseGraph):
     info = jnp.concatenate([info_o, info_l, info_i, info_b], axis=0)
     # sub-diagonal coupling blocks of the sequential (chain) families for the
     # cyclic-reduction preconditioner; loops stay out (low-rank PCG part)
-    B = _offdiag_blocks(KF, dtype, (Ji_o, Ji_i9, Ji_b), (Jj_o, Jj_i9, Jj_b),
+    B = _offdiag_blocks(KF, dtype, idx, (Ji_o, Ji_i9, Ji_b), (Jj_o, Jj_i9, Jj_b),
                         (info_o, info_i, info_b))
     return fi, fj, Ji, Jj, e, info, B
 
@@ -356,16 +370,17 @@ def _precond_blocks(KF, dtype, fi, fj, Ji, Jj, info, prior_diag):
     return blocks
 
 
-def _offdiag_blocks(KF, dtype, Ji_fams, Jj_fams, info_fams):
+def _offdiag_blocks(KF, dtype, slots, Ji_fams, Jj_fams, info_fams):
     """Sub-diagonal blocks L (KF, D, D): L[k] = H[node k, node k-1] — the
     LOWER coupling block chain_factor expects — contributed by the sequential
     factor families (odometry, IMU, bias) whose slot k couples nodes
     (k-1, k): H[k, k-1] = Jj^T W Ji. Loop factors are deliberately
-    excluded — they are the low-rank part PCG handles."""
-    B = jnp.zeros((KF, D, D), dtype)
+    excluded — they are the low-rank part PCG handles. Family rows are
+    scattered by their slot index (out-of-range padding slots drop)."""
+    acc = jnp.zeros((slots.shape[0], D, D), dtype)
     for Ji_f, Jj_f, info_f in zip(Ji_fams, Jj_fams, info_fams):
-        B = B + jnp.einsum("fba,fb,fbc->fac", Jj_f, info_f, Ji_f)
-    return B
+        acc = acc + jnp.einsum("fba,fb,fbc->fac", Jj_f, info_f, Ji_f)
+    return jnp.zeros((KF, D, D), dtype).at[slots].add(acc, mode="drop")
 
 
 def chain_factor(Dblk, L):
@@ -576,7 +591,8 @@ def optimize_window(
         b = b - gpsw * jnp.zeros((W, D), dtype).at[:, 3:6].set(gps_r)
 
         Dblk = _precond_blocks(W, dtype, fi, fj, Ji, Jj, info, prior_diag)
-        B = _offdiag_blocks(W, dtype, (Ji_o, Ji_i9, Ji_b), (Jj_o, Jj_i9, Jj_b), (info_o, info_i, info_b))
+        B = _offdiag_blocks(W, dtype, jnp.arange(W), (Ji_o, Ji_i9, Ji_b), (Jj_o, Jj_i9, Jj_b),
+                            (info_o, info_i, info_b))
         levels, top_inv = chain_factor(Dblk, B)
 
         def hv(v):

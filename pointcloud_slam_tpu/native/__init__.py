@@ -25,7 +25,7 @@ _lib: Optional[ctypes.CDLL] = None
 def _build() -> str:
     os.makedirs(_BUILD, exist_ok=True)
     out = os.path.join(_BUILD, "libpcs_native.so")
-    srcs = [os.path.join(_SRC, f) for f in ("oracle.cpp", "ingest.cpp")]
+    srcs = [os.path.join(_SRC, f) for f in ("oracle.cpp", "ingest.cpp", "live_driver.cpp")]
     newest_src = max(os.path.getmtime(s) for s in srcs)
     if not os.path.exists(out) or os.path.getmtime(out) < newest_src:
         cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", out] + srcs
@@ -66,6 +66,19 @@ def lib() -> ctypes.CDLL:
         ]
         L.ingest_pending_imu.restype = ctypes.c_int
         L.ingest_pending_imu.argtypes = [ctypes.c_void_p]
+        L.live_create.restype = ctypes.c_void_p
+        L.live_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_double,
+                                  ctypes.c_double, ctypes.c_int]
+        L.live_destroy.argtypes = [ctypes.c_void_p]
+        L.live_load_scan.argtypes = [ctypes.c_void_p, fp, dp, ctypes.c_int,
+                                     ctypes.c_double, ctypes.c_double]
+        L.live_load_imu.argtypes = [ctypes.c_void_p, dp, fp, fp, ctypes.c_int]
+        L.live_run.argtypes = [ctypes.c_void_p]
+        L.live_pop_frame.restype = ctypes.c_int
+        L.live_pop_frame.argtypes = [ctypes.c_void_p, fp, up, fp, fp, fp, fp, fp, up,
+                                     ctypes.c_int]
+        L.live_queue_depth.restype = ctypes.c_int
+        L.live_queue_depth.argtypes = [ctypes.c_void_p]
     return _lib
 
 
@@ -189,6 +202,74 @@ class IngestShim:
         )
         if n < 0:
             return None
+        out["pt_mask"] = out["pt_mask"].astype(bool)
+        out["imu_mask"] = out["imu_mask"].astype(bool)
+        out["n_valid"] = n
+        return out
+
+
+class LiveDriverShim:
+    """Native live-driver replay (the thirdparty/livox_ros_driver role).
+
+    Producer threads inside the C++ layer replay a preloaded dataset at
+    (scaled) sensor cadence into the Ingest assembler; `pop_frame` is the
+    consumer end of the frame queue (the SyncPackages product). See
+    native/src/live_driver.cpp.
+    """
+
+    def __init__(self, n_points: int, n_imu: int, time_scale: float = 1.0,
+                 blind: float = 0.1, filter_num: int = 1):
+        self.n_points = n_points
+        self.n_imu = n_imu
+        self._h = lib().live_create(n_points, n_imu, time_scale, blind, filter_num)
+
+    def __del__(self):
+        try:
+            lib().live_destroy(self._h)
+        except Exception:
+            pass
+
+    def load_scan(self, xyz: np.ndarray, t_pts: np.ndarray, t0: float, t1: float):
+        xyz = np.ascontiguousarray(xyz, np.float32)
+        t_pts = np.ascontiguousarray(t_pts, np.float64)
+        lib().live_load_scan(self._h, _fptr(xyz), _dptr(t_pts), len(xyz), t0, t1)
+
+    def load_imu(self, t: np.ndarray, acc: np.ndarray, gyro: np.ndarray):
+        t = np.ascontiguousarray(t, np.float64)
+        acc = np.ascontiguousarray(acc, np.float32)
+        gyro = np.ascontiguousarray(gyro, np.float32)
+        lib().live_load_imu(self._h, _dptr(t), _fptr(acc), _fptr(gyro), len(t))
+
+    def run(self):
+        lib().live_run(self._h)
+
+    @property
+    def queue_depth(self) -> int:
+        return lib().live_queue_depth(self._h)
+
+    def pop_frame(self, timeout_ms: int = 1000):
+        """Next assembled frame as LIOFrame-shaped numpy arrays; None on
+        timeout; False when the replay is finished and drained."""
+        NP, NI = self.n_points, self.n_imu
+        out = {
+            "pts": np.zeros((3, NP), np.float32),
+            "pt_mask": np.zeros(NP, np.uint8),
+            "t_offs": np.zeros(NP, np.float32),
+            "imu_acc": np.zeros((NI, 3), np.float32),
+            "imu_gyro": np.zeros((NI, 3), np.float32),
+            "imu_dt": np.zeros(NI, np.float32),
+            "imu_offs": np.zeros(NI, np.float32),
+            "imu_mask": np.zeros(NI, np.uint8),
+        }
+        n = lib().live_pop_frame(
+            self._h, _fptr(out["pts"]), _uptr(out["pt_mask"]), _fptr(out["t_offs"]),
+            _fptr(out["imu_acc"]), _fptr(out["imu_gyro"]), _fptr(out["imu_dt"]),
+            _fptr(out["imu_offs"]), _uptr(out["imu_mask"]), timeout_ms,
+        )
+        if n == -1:
+            return None
+        if n == -2:
+            return False
         out["pt_mask"] = out["pt_mask"].astype(bool)
         out["imu_mask"] = out["imu_mask"].astype(bool)
         out["n_valid"] = n

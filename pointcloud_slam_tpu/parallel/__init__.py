@@ -3,5 +3,6 @@
 from .mesh import make_mesh
 from .sharded_backend import sharded_optimize
 from .sharded_icp import sharded_point_to_plane_icp
+from .sharded_lio import sharded_lio_update
 
-__all__ = ["make_mesh", "sharded_point_to_plane_icp", "sharded_optimize"]
+__all__ = ["make_mesh", "sharded_point_to_plane_icp", "sharded_optimize", "sharded_lio_update"]

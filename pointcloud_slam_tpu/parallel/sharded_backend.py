@@ -44,26 +44,17 @@ def sharded_optimize(mesh: Mesh, cfg: bk.BackendConfig, g: bk.PoseGraph, axis: s
         rank = jax.lax.axis_index(axis)
 
         def gn_step(g, _):
-            fi, fj, Ji, Jj, e, info, B = bk._graph_terms(cfg, g)
-            F = fi.shape[0]
-            # this device's factor shard: [rank*chunk, (rank+1)*chunk) with
-            # zero-info padding beyond F (chunk * n_shards >= F)
-            chunk = -(-F // n_shards)
-            pad = chunk * n_shards - F
-            if pad:
-                fi = jnp.concatenate([fi, jnp.zeros((pad,), fi.dtype)])
-                fj = jnp.concatenate([fj, jnp.zeros((pad,), fj.dtype)])
-                Ji = jnp.concatenate([Ji, jnp.zeros((pad,) + Ji.shape[1:], dtype)])
-                Jj = jnp.concatenate([Jj, jnp.zeros((pad,) + Jj.shape[1:], dtype)])
-                e = jnp.concatenate([e, jnp.zeros((pad,) + e.shape[1:], dtype)])
-                info = jnp.concatenate([info, jnp.zeros((pad,) + info.shape[1:], dtype)])
-            s = rank * chunk
-            fi = jax.lax.dynamic_slice_in_dim(fi, s, chunk)
-            fj = jax.lax.dynamic_slice_in_dim(fj, s, chunk)
-            Ji = jax.lax.dynamic_slice_in_dim(Ji, s, chunk)
-            Jj = jax.lax.dynamic_slice_in_dim(Jj, s, chunk)
-            e = jax.lax.dynamic_slice_in_dim(e, s, chunk)
-            info = jax.lax.dynamic_slice_in_dim(info, s, chunk)
+            # this device's slot shard: linearization (including the vmapped
+            # jacfwd IMU factors) runs ONLY on these slots — KF/n_shards
+            # keyframe slots + L/n_shards loop slots per device. Padding
+            # slots beyond the table carry zero information.
+            KFc = -(-KF // n_shards)
+            Lc = -(-cfg.max_loops // n_shards)
+            kf_slots = rank * KFc + jnp.arange(KFc)
+            loop_slots = rank * Lc + jnp.arange(Lc)
+            fi, fj, Ji, Jj, e, info, Bp = bk._graph_terms(cfg, g, kf_slots, loop_slots)
+            # partial sub-diagonal blocks -> full chain for the preconditioner
+            B = jax.lax.psum(Bp, axis)
 
             pose_prior = jnp.where((idx == 0) & active, cfg.prior_info, jnp.where(active, 0.0, 1.0))
             vb_prior = jnp.where(

@@ -32,3 +32,25 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--heavy", action="store_true", default=False,
+                     help="also run tests marked 'heavy' (monster-compile/scale tests)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: long-compile or large-scale test, excluded from the default run "
+        "(opt in with --heavy; CI latency policy in IMPLEMENTATION_STATUS.md)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--heavy"):
+        return
+    skip = pytest.mark.skip(reason="heavy: opt in with --heavy")
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)

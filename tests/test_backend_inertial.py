@@ -113,3 +113,54 @@ class TestInertialBackend:
         e_nv = float(np.linalg.norm(np.asarray(s_nv.t)[:n] - pos, axis=1).max())
         # the unguarded graph is visibly corrupted; the robust one is not
         assert e_nv > 4 * e_rob, (e_nv, e_rob)
+
+
+class TestWindowOptimize:
+    """optimize_window: the iSAM2 per-keyframe update role
+    (mapOptmization.cpp:1835-1850) — O(window) incremental solve."""
+
+    def test_window_corrects_recent_only(self):
+        KF = 64
+        cfg = bk.BackendConfig(max_keyframes=KF, max_loops=4)
+        rng = np.random.default_rng(2)
+        t_true = np.cumsum(np.tile([0.5, 0.0, 0.0], (40, 1)), 0).astype(np.float32)
+        g = bk.create(cfg)
+        for k in range(40):
+            g = bk.add_keyframe(cfg, g, jnp.eye(3), jnp.asarray(t_true[k]))
+        # perturb the ESTIMATES of recent nodes after the fact (measurements
+        # stay truth-consistent) — the window solve must pull them back
+        noise = np.zeros((KF, 3), np.float32)
+        noise[30:40] = rng.normal(0, 0.05, (10, 3)).astype(np.float32)
+        g = g._replace(t=g.t + jnp.asarray(noise))
+        before = np.asarray(g.t)[:40]
+        solved = bk.optimize_window(cfg, g, window=16)
+        after = np.asarray(solved.t)[:40]
+        # nodes before the window are untouched
+        np.testing.assert_array_equal(after[:24], before[:24])
+        # recent-node error is reduced
+        e_before = np.linalg.norm(before[30:] - t_true[30:], axis=1).max()
+        e_after = np.linalg.norm(after[30:] - t_true[30:], axis=1).max()
+        assert e_after < 0.2 * e_before, (e_before, e_after)
+
+    def test_window_uses_in_window_loop(self):
+        KF = 32
+        cfg = bk.BackendConfig(max_keyframes=KF, max_loops=4)
+        rng = np.random.default_rng(3)
+        t_true = np.cumsum(np.tile([0.4, 0.0, 0.0], (20, 1)), 0).astype(np.float32)
+        g = bk.create(cfg)
+        for k in range(20):
+            drift = np.array([0.0, 0.02 * max(0, k - 8), 0.0], np.float32)
+            g = bk.add_keyframe(cfg, g, jnp.eye(3), jnp.asarray(t_true[k] + drift))
+        # in-window loop between nodes 10 and 19 pulling the drift out
+        g = bk.add_loop(cfg, g, jnp.asarray(10), jnp.asarray(19), jnp.eye(3),
+                        jnp.asarray(t_true[19] - t_true[10]), jnp.full((6,), 1e5), robust=False)
+        solved = bk.optimize_window(cfg, g, window=16, pcg_iterations=24)
+        rel = np.asarray(solved.t[19] - solved.t[10])
+        np.testing.assert_allclose(rel, t_true[19] - t_true[10], atol=0.05)
+
+    def test_residual_stats_decrease(self):
+        g0, pos = _build(with_imu=False, odom_scale=1.0)
+        chi0, rms0 = (float(np.asarray(v)) for v in bk.residual_stats(CFG, g0))
+        solved = bk.optimize(CFG, g0)
+        chi1, rms1 = (float(np.asarray(v)) for v in bk.residual_stats(CFG, solved))
+        assert chi1 <= chi0 + 1e-6

@@ -100,3 +100,63 @@ class TestIngestShim:
         xyz = np.tile(np.array([[2.0, 0, 0]], np.float32), (30, 1))
         fr = shim.make_frame(xyz, np.full(30, 0.15), 0.1, 0.2, filter_num=3)
         assert fr["pt_mask"].sum() == 10
+
+
+class TestLiveDriverShim:
+    def test_live_replay_matches_offline_assembly(self):
+        """The threaded live driver must deliver the same frames the offline
+        IngestShim assembles from the same data (the livox_ros_driver ->
+        SyncPackages pipeline vs the offline replay path)."""
+        rng = np.random.default_rng(5)
+        n_frames, NP, NI = 6, 128, 16
+        frame_dt = 0.1
+        scans = []
+        for f in range(n_frames):
+            xyz = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+            t0 = f * frame_dt
+            t_pts = np.linspace(t0, t0 + frame_dt, 100, endpoint=False)
+            scans.append((xyz, t_pts, t0, t0 + frame_dt))
+        t_imu = np.arange(0.0, n_frames * frame_dt + 0.05, 0.01)
+        acc = rng.normal(0, 1, (len(t_imu), 3)).astype(np.float32)
+        gyro = rng.normal(0, 0.1, (len(t_imu), 3)).astype(np.float32)
+
+        # offline reference assembly
+        ref = native.IngestShim(n_points=NP, n_imu=NI)
+        ref.push_imu(t_imu, acc, gyro)
+        ref_frames = [ref.make_frame(x, tp, t0, t1, blind=0.5) for x, tp, t0, t1 in scans]
+        assert all(fr is not None for fr in ref_frames)
+
+        # live replay at 20x real time
+        drv = native.LiveDriverShim(n_points=NP, n_imu=NI, time_scale=0.05, blind=0.5)
+        for x, tp, t0, t1 in scans:
+            drv.load_scan(x, tp, t0, t1)
+        drv.load_imu(t_imu, acc, gyro)
+        drv.run()
+        live_frames = []
+        while True:
+            fr = drv.pop_frame(timeout_ms=3000)
+            if fr is False:
+                break
+            assert fr is not None, "live driver timed out"
+            live_frames.append(fr)
+        assert len(live_frames) == n_frames
+        for ref_fr, live_fr in zip(ref_frames, live_frames):
+            assert live_fr["n_valid"] == ref_fr["n_valid"]
+            for key in ("pts", "pt_mask", "t_offs", "imu_acc", "imu_gyro",
+                        "imu_dt", "imu_offs", "imu_mask"):
+                np.testing.assert_array_equal(live_fr[key], ref_fr[key], err_msg=key)
+
+    def test_live_sync_gate_waits_for_imu(self):
+        """A sweep whose IMU lags must still be delivered once the IMU thread
+        catches up — the SyncPackages retry gate under real concurrency."""
+        drv = native.LiveDriverShim(n_points=32, n_imu=8, time_scale=0.02)
+        xyz = np.tile(np.array([[2.0, 0, 0]], np.float32), (10, 1))
+        drv.load_scan(xyz, np.full(10, 0.05), 0.0, 0.1)
+        # IMU stamps end AFTER the sweep: the lidar thread will initially see
+        # uncovered IMU and must retry
+        t_imu = np.array([0.02, 0.06, 0.11, 0.15])
+        drv.load_imu(t_imu, np.zeros((4, 3), np.float32), np.zeros((4, 3), np.float32))
+        drv.run()
+        fr = drv.pop_frame(timeout_ms=3000)
+        assert fr is not False and fr is not None
+        assert fr["n_valid"] == 10

@@ -44,6 +44,41 @@ def test_sharded_icp_matches_single_device():
         np.testing.assert_allclose(np.asarray(pose.t[b]), poses_t[b], atol=5e-2)
 
 
+def test_sharded_lio_update_matches_single_device():
+    """Point-axis sharded iterated ESKF == single-device update (the LIO
+    frame step's SP analogue: per-point search/fit/Jacobian work sharded,
+    HTH/HTh psum'd inside every iteration)."""
+    from pointcloud_slam_tpu.models import lio
+    from pointcloud_slam_tpu.models.lio import eskf
+    from pointcloud_slam_tpu.models.lio import pipeline as lp
+    from pointcloud_slam_tpu.io import synthetic
+
+    cfg = lio.LIOConfig(grid=GRID, init_imu_frames=1)
+    world = synthetic.make_room_cloud(4096, seed=0)
+    _, grid = register.build_target_map(jnp.asarray(world.T), grid_cfg=GRID)
+
+    # scan observed from a slightly wrong state -> the update must correct it
+    rng = np.random.default_rng(3)
+    sel = rng.choice(len(world), 1024, replace=False)
+    pts_body = jnp.asarray((world[sel] - np.array([0.1, -0.05, 0.02])).T, jnp.float32)
+    mask = jnp.ones(1024, bool)
+
+    s0 = lio.create_state(cfg)
+    x0, P0 = s0.x, s0.P
+
+    body_norm = jnp.sqrt(jnp.sum(pts_body * pts_body, axis=0))
+    tbl = ops.knn_table(cfg.grid, grid)
+    obs = lp._obs_model(cfg, grid, pts_body, body_norm, mask, tbl=tbl)
+    ref = eskf.update_iterated(x0, P0, obs, cfg.laser_point_cov, cfg.max_iterations, cfg.epsi)
+
+    mesh = parallel.make_mesh(8)
+    x_sh, P_sh, iters, conv = parallel.sharded_lio_update(mesh, cfg, grid, x0, P0, pts_body, mask)
+    np.testing.assert_allclose(np.asarray(x_sh.pos), np.asarray(ref.x.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x_sh.rot), np.asarray(ref.x.rot), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(P_sh), np.asarray(ref.P), atol=1e-5)
+    assert int(iters) == int(ref.iterations)
+
+
 class TestShardedBackend:
     def test_matches_single_device_solve(self):
         """Factor-sharded PCG must agree with the single-device backend."""
@@ -66,3 +101,48 @@ class TestShardedBackend:
         sharded = parallel.sharded_optimize(mesh, cfg, g)
         np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t), atol=2e-4)
         np.testing.assert_allclose(np.asarray(sharded.R), np.asarray(single.R), atol=2e-4)
+
+    def test_1k_node_sharded_solve_matches_single_device(self):
+        """1024-node graph with 16 loops: the slot-sharded linearization +
+        psum'd assembly must reproduce the single-device solve."""
+        import numpy as np
+        from pointcloud_slam_tpu import parallel
+        from pointcloud_slam_tpu.models.liosam import backend as bk
+
+        KF = 1024
+        cfg = bk.BackendConfig(max_keyframes=KF, max_loops=32, gn_iterations=3, pcg_iterations=40)
+        rng = np.random.default_rng(1)
+        # direct graph construction (bulk): circular drifting trajectory
+        ang = np.linspace(0, 2 * np.pi, KF)
+        t_true = np.stack([30 * np.cos(ang), 30 * np.sin(ang), 0.1 * ang], 1).astype(np.float32)
+        t_noisy = t_true + np.cumsum(rng.normal(0, 0.01, (KF, 3)), 0).astype(np.float32)
+        odom_t = np.zeros((KF, 3), np.float32)
+        odom_t[1:] = t_true[1:] - t_true[:-1]
+        g = bk.create(cfg)._replace(
+            t=jnp.asarray(t_noisy),
+            n=jnp.asarray(KF, jnp.int32),
+            odom_t=jnp.asarray(odom_t),
+            odom_info=jnp.full((KF, 6), 1e4, jnp.float32),
+        )
+        li = np.arange(16, dtype=np.int32) * 30
+        lj = li + 512
+        g = g._replace(
+            loop_i=jnp.zeros(32, jnp.int32).at[:16].set(jnp.asarray(li)),
+            loop_j=jnp.zeros(32, jnp.int32).at[:16].set(jnp.asarray(lj)),
+            loop_t=jnp.zeros((32, 3), jnp.float32).at[:16].set(jnp.asarray(t_true[lj] - t_true[li])),
+            loop_info=jnp.zeros((32, 6), jnp.float32).at[:16].set(1e3),
+            n_loops=jnp.asarray(16, jnp.int32),
+        )
+
+        single = bk.optimize(cfg, g)
+        mesh = parallel.make_mesh(8)
+        sharded = parallel.sharded_optimize(mesh, cfg, g)
+        # agreement is limited by float32 summation order (psum vs in-order
+        # factor accumulation) at |t| ~ 30 m; measured max deviation 1e-4
+        np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(sharded.R), np.asarray(single.R), atol=5e-4)
+        # and the (budget-limited: 3 GN x 40 PCG) solve moved toward truth —
+        # full convergence quality is bench config 5's claim, not this test's
+        err0 = np.linalg.norm(t_noisy - t_true, axis=1).max()
+        err1 = np.linalg.norm(np.asarray(sharded.t) - t_true, axis=1).max()
+        assert err1 < 0.85 * err0, (err0, err1)
