@@ -34,6 +34,8 @@ def parse_args():
     p.add_argument("--map_file", default="", help="save accumulated map PCD here")
     p.add_argument("--n_points", type=int, default=8192)
     p.add_argument("--n_imu", type=int, default=64)
+    p.add_argument("--chain", type=int, default=8, help="frames per jitted chain "
+                   "(1 = per-frame dispatch; larger amortizes the device round trip)")
     return p.parse_args()
 
 
@@ -132,20 +134,65 @@ def main():
     cfg = build_config(args)
     state = lio.create_state(cfg)
     step = jax.jit(lambda s, f: lio.lio_step(cfg, s, f))
+    # chained streaming: C frames advance inside ONE program (lax.scan) with a
+    # single device->host readback at the end — the tunnel's fixed per-program
+    # round trip (~40 ms) is paid once per chain instead of once per frame,
+    # exactly the run_mapping_offline.cc replay-at-full-speed shape
+    step_chain = jax.jit(
+        lambda s, fs: jax.lax.scan(lambda st, fr: lio.lio_step(cfg, st, fr), s, fs)
+    )
 
     src = frames_from_dir(args) if args.data_dir else frames_synthetic(args)
     times, poss, quats = [], [], []
     n = 0
     t_start = time.perf_counter()
-    for frame, stamp in src:
-        def run():
-            return step(state, frame)
+    pending = []
 
-        state, out = Timer.evaluate(run, "lio_step")
-        times.append(stamp)
-        poss.append(np.asarray(out.pos))
-        quats.append(np.asarray(so3.to_quat(out.rot)))
-        n += 1
+    def flush(state, pending):
+        nonlocal n
+        if not pending:
+            return state
+        if len(pending) == args.chain:
+            stack = jax.tree.map(lambda *xs: jnp.stack(xs), *[f for f, _ in pending])
+
+            def run():
+                s, outs = step_chain(state, stack)
+                return s, jax.tree.map(np.asarray, outs)
+
+            state, outs = Timer.evaluate(run, "lio_chain")
+            for i, (_, stamp) in enumerate(pending):
+                times.append(stamp)
+                poss.append(outs.pos[i])
+                quats.append(np.asarray(so3.to_quat(jnp.asarray(outs.rot[i]))))
+                n += 1
+        else:  # tail group: per-frame path (already compiled shapes)
+            for frame, stamp in pending:
+                def run():
+                    return step(state, frame)
+
+                state, out = Timer.evaluate(run, "lio_step")
+                times.append(stamp)
+                poss.append(np.asarray(out.pos))
+                quats.append(np.asarray(so3.to_quat(out.rot)))
+                n += 1
+        return state
+
+    for frame, stamp in src:
+        if args.chain > 1:
+            pending.append((frame, stamp))
+            if len(pending) == args.chain:
+                state = flush(state, pending)
+                pending = []
+        else:
+            def run():
+                return step(state, frame)
+
+            state, out = Timer.evaluate(run, "lio_step")
+            times.append(stamp)
+            poss.append(np.asarray(out.pos))
+            quats.append(np.asarray(so3.to_quat(out.rot)))
+            n += 1
+    state = flush(state, pending)
     wall = time.perf_counter() - t_start
     print(f"frames: {n}  wall: {wall:.2f}s  mean FPS: {n / max(wall, 1e-9):.2f}")
     Timer.print_all()
