@@ -102,6 +102,22 @@ def main():
     cov_rbf = register.source_covariances_rbf(src_j, mask, resolution=1.0, kernel_width=0.5)
     run("vgicp (rbf cov)", lambda: register.vgicp.align(vg, vmap, src_j, cov_rbf, mask, cfg=vcfg).pose)
 
+    cov_exact = register.source_covariances(src_j, mask, k=8, method="exact")
+    run("vgicp (exact/pallas cov)", lambda: register.vgicp.align(vg, vmap, src_j, cov_exact, mask, cfg=vcfg).pose)
+
+    # covariance-estimation timing alone (fast_gicp README.md:119-123 compares
+    # kdtree 16.0 / bruteforce 53.9 / RBF 5.9 ms on an RTX 2080 Ti)
+    for name, fn in (
+        ("cov: voxel knn", jax.jit(lambda p, m: register.source_covariances(p, m, k=8, resolution=1.0))),
+        ("cov: exact knn (pallas)", jax.jit(lambda p, m: register.source_covariances(p, m, k=8, method="exact"))),
+        ("cov: rbf", jax.jit(lambda p, m: register.source_covariances_rbf(p, m, resolution=1.0, kernel_width=0.5))),
+    ):
+        _ = np.asarray(fn(src_j, mask))  # compile + real readback
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            _ = np.asarray(fn(src_j, mask))
+        print(f"{name:26s} {'':9s}    {(time.perf_counter() - t0) / args.reps * 1e3:9.2f} ms")
+
     gcfg = register.GICPConfig()
     ggrid_cfg, ggrid, gatt = register.gicp.build_target(gcfg, tgt_j)
     run("gicp", lambda: register.gicp.align(ggrid_cfg, ggrid, gatt, src_j, cov_knn, mask, cfg=gcfg).pose)

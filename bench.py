@@ -42,7 +42,6 @@ F_SERIAL = 8   # frames in the serial reference chain
 # pts_per_voxel 28 = 7 stencil voxels x 4 — same candidate budget as the
 # unbaked (K=4, nearby=7) map
 GRID = ops.GridConfig(capacity=1 << 17, pts_per_voxel=28, resolution=0.5, probe=4, nearby=7, baked=True)
-GRID_SERIAL = ops.GridConfig(capacity=1 << 17, pts_per_voxel=4, resolution=0.5, probe=4, nearby=7)
 ICP = register.ICPConfig(
     search_every=10, warmup_searches=0,
     solver=register.SolverConfig(max_iterations=N_ITERS, rotation_epsilon=0.0, translation_epsilon=0.0),
@@ -84,32 +83,33 @@ def config1_icp():
         _ = np.asarray(solve_batched(grid, srcs))
     dt = (time.perf_counter() - t0) / (reps * F_CHAIN)
 
-    # --- serial chain (lax.map, unbaked map) for reference: the
-    # strictly-sequential shape
-    grid_cfg_s, grid_s = register.build_target_map(jnp.asarray(world.T), grid_cfg=GRID_SERIAL)
+    # --- serial chain (lax.map, baked map): the strictly-sequential shape
     srcs_s = srcs[:F_SERIAL]
 
     @jax.jit
     def solve_chain(grid, srcs):
-        res = jax.lax.map(lambda s: register.point_to_plane_icp(grid_cfg_s, grid, s, cfg=ICP), srcs)
+        res = jax.lax.map(lambda s: register.point_to_plane_icp(grid_cfg, grid, s, cfg=ICP), srcs)
         return res.pose.t
 
-    ts = solve_chain(grid_s, srcs_s)
+    ts = solve_chain(grid, srcs_s)
     terr = float(np.max(np.linalg.norm(np.asarray(ts) - gt_t[:F_SERIAL], axis=1)))
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        _ = np.asarray(solve_chain(grid_s, srcs_s))
+        _ = np.asarray(solve_chain(grid, srcs_s))
     dt_serial = (time.perf_counter() - t0) / (reps * F_SERIAL)
 
-    # single-frame latency on the unbaked map (single-frame programs with a
-    # baked grid hit an XLA TPU backend fault on this stack — see
-    # GridConfig.baked; batched paths are unaffected)
-    solve1 = jax.jit(lambda g, s: register.point_to_plane_icp(grid_cfg_s, g, s, cfg=ICP).pose.t)
-    _ = np.asarray(solve1(grid_s, srcs[0]))
+    # single-frame latency on the baked map — one program + one readback per
+    # frame, so the axon tunnel's fixed ~40 ms round trip is included; the
+    # device-compute share is serial_per_frame_ms. (The round-2 "baked
+    # single-frame XLA fault" is a kNN/plane-fit fusion miscompile, mitigated
+    # by an optimization_barrier in icp.correspondences — repro matrix in
+    # tools/repro_baked_single.py; trans_err_max_m below gates accuracy.)
+    solve1 = jax.jit(lambda g, s: register.point_to_plane_icp(grid_cfg, g, s, cfg=ICP).pose.t)
+    _ = np.asarray(solve1(grid, srcs[0]))
     t0 = time.perf_counter()
     for f in range(4):
-        _ = np.asarray(solve1(grid_s, srcs[f % F_CHAIN]))
+        _ = np.asarray(solve1(grid, srcs[f % F_CHAIN]))
     lat_ms = (time.perf_counter() - t0) / 4 * 1e3
     return 1.0 / dt, {"per_frame_ms": round(dt * 1e3, 3),
                       "serial_per_frame_ms": round(dt_serial * 1e3, 3),

@@ -1,5 +1,5 @@
 """Pallas TPU kernels (hot-path custom kernels; pure-XLA fallbacks exist)."""
 
-from .bf_knn import nearest_neighbor
+from .bf_knn import knn, nearest_neighbor, pad_cloud
 
-__all__ = ["nearest_neighbor"]
+__all__ = ["knn", "nearest_neighbor", "pad_cloud"]

@@ -64,12 +64,11 @@ class GridConfig:
     # while searches run num_iterations x per frame. Candidate sets are
     # identical to the unbaked stencil (same offsets, mirrored), up to
     # per-voxel capacity drops — size pts_per_voxel ~ nearby x unbaked K.
-    # KNOWN LIMITATION (this jax/libtpu stack): use baked grids from
-    # large-batch query programs (batched_point_to_plane_icp, multi-frame
-    # pipelines). A SINGLE-frame registration solve over a baked grid
-    # (point_to_plane_icp at N~20k) triggers an XLA TPU backend fault
-    # (INTERNAL / worker crash); the batched formulation of the identical
-    # workload compiles and runs correctly.
+    # (A libtpu fusion miscompile hits programs that fuse the baked-grid kNN
+    # gather chain directly into the plane fit: flaky worker crash, or
+    # silently wrong neighbors in single-frame solves. Mitigated by an
+    # optimization_barrier in register/icp.py::correspondences; repro matrix
+    # in tools/repro_baked_single.py.)
     baked: bool = False
 
     def __post_init__(self):

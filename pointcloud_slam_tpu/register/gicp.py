@@ -36,6 +36,7 @@ class GICPConfig:
     k_correspondences: int = 8        # ref default 20; 8 covers planar scenes
     max_corr_dist: float = 2.0        # correspondence gate
     cov_resolution: float = 1.0       # k-NN grid resolution for covariances
+    cov_method: str = "voxel"         # "voxel" (approx) | "exact" (Pallas MXU brute-force)
     search_every: int = 2
     solver: solver.SolverConfig = dataclasses.field(
         default_factory=lambda: solver.SolverConfig(max_iterations=40)
@@ -56,7 +57,8 @@ def build_target(cfg: GICPConfig, target: jnp.ndarray, mask: Optional[jnp.ndarra
         mask = jnp.ones(target.shape[1], bool)
     grid_cfg = ops.GridConfig(capacity=capacity, pts_per_voxel=8, resolution=cfg.cov_resolution, nearby=7)
     grid, flat_idx = ops.insert(grid_cfg, ops.create(grid_cfg, target.dtype), target, mask, return_indices=True)
-    covs = source_covariances(target, mask, k=cfg.k_correspondences, resolution=cfg.cov_resolution)
+    covs = source_covariances(target, mask, k=cfg.k_correspondences, resolution=cfg.cov_resolution,
+                              method=cfg.cov_method)
     C, K = grid_cfg.capacity, grid_cfg.pts_per_voxel
     att = jnp.zeros((6, K * C), target.dtype)
     tgt = jnp.where(flat_idx >= 0, flat_idx, K * C)

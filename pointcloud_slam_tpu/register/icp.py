@@ -69,6 +69,12 @@ def correspondences(
     Returns (coef (4, N) plane [n, d], valid (N,)).
     """
     nbrs, d2, cnt, _ = ops.knn(grid_cfg, grid, pts_world, k=cfg.num_neighbors, max_range=cfg.max_corr_dist)
+    if grid_cfg.baked:
+        # fusing the baked-grid kNN gather chain into the plane-fit compute
+        # miscompiles on this libtpu (flaky worker crash, or deterministically
+        # wrong neighbors in single-frame programs — tools/repro_baked_single);
+        # a barrier forces the search to materialize before the fit consumes it
+        nbrs, d2, cnt = jax.lax.optimization_barrier((nbrs, d2, cnt))
     nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
     coef, plane_ok = fit.plane_fit(nbrs, nmask, threshold=cfg.plane_threshold, min_pts=cfg.min_neighbors)
     valid = mask & plane_ok & (cnt >= cfg.min_neighbors)

@@ -63,18 +63,38 @@ def _plane_regularize(c00, c01, c02, c11, c12, c22, ok):
     return jnp.where(ok[None, :], cov, iso)
 
 
-def source_covariances(points: jnp.ndarray, mask: jnp.ndarray, k: int = 8, resolution: float = 1.0):
+def source_covariances(points: jnp.ndarray, mask: jnp.ndarray, k: int = 8, resolution: float = 1.0,
+                       method: str = "voxel"):
     """Per-point PLANE-regularized covariances from k-NN within the cloud
-    (fast_gicp calculate_covariances). Returns (6, N) [xx,xy,xz,yy,yz,zz]."""
-    cfg = ops.GridConfig(
-        capacity=max(1 << 14, 1 << (int(points.shape[1]).bit_length())),
-        pts_per_voxel=8,
-        resolution=resolution,
-        nearby=7,
-    )
-    grid = ops.insert(cfg, ops.create(cfg, points.dtype), points, mask)
-    nbrs, d2, cnt, _ = ops.knn(cfg, grid, points, k=k, max_range=2.0 * resolution)
-    nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
+    (fast_gicp calculate_covariances). Returns (6, N) [xx,xy,xz,yy,yz,zz].
+
+    method="voxel": approximate k-NN over a stencil-7 voxel grid (bounded
+    radius 2*resolution — the TPU-default trade).
+    method="exact": EXACT brute-force k-NN on the MXU via the Pallas tiled
+    distance-matrix kernel — the counterpart of the reference's GPU
+    `brute_force_knn.cu` -> `covariance_estimation.cu` path (unbounded
+    radius, exactly k neighbors, the kd-tree/CUDA semantics)."""
+    if method == "exact":
+        from ..ops.pallas import bf_knn
+
+        N = points.shape[1]
+        q = bf_knn.pad_cloud(points, mask, 256)
+        db = bf_knn.pad_cloud(points, mask, 512)
+        d2, idx = bf_knn.knn(q, db, k=k)
+        d2, idx = d2[:, :N], idx[:, :N]          # (k, N) drop query padding
+        nbrs = db[:, idx]                        # (3, k, N)
+        nmask = d2 < 1.0e30                      # padded/masked neighbors are far
+        cnt = jnp.sum(nmask, axis=0).astype(jnp.int32)
+    else:
+        cfg = ops.GridConfig(
+            capacity=max(1 << 14, 1 << (int(points.shape[1]).bit_length())),
+            pts_per_voxel=8,
+            resolution=resolution,
+            nearby=7,
+        )
+        grid = ops.insert(cfg, ops.create(cfg, points.dtype), points, mask)
+        nbrs, d2, cnt, _ = ops.knn(cfg, grid, points, k=k, max_range=2.0 * resolution)
+        nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
     m = nmask.astype(points.dtype)
     n = jnp.maximum(jnp.sum(m, axis=0), 1.0)
     mx = jnp.sum(nbrs[0] * m, axis=0) / n

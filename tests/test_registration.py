@@ -168,3 +168,40 @@ class TestRBFCovariances:
         # the true pose (the reference's RBF mode is likewise an
         # approximation of the k-NN covariances, not bit-equal to them)
         assert e1 < 0.15 and e2 < 0.15, (e1, e2)
+
+
+class TestExactCovariances:
+    def test_exact_matches_numpy_brute_force(self, rng):
+        """source_covariances(method='exact') — the Pallas brute_force_knn.cu
+        counterpart — must reproduce a numpy exact-kNN covariance oracle."""
+        pts = rng.uniform(-4, 4, size=(600, 3)).astype(np.float32)
+        k = 8
+        pj = jnp.asarray(pts.T)
+        mask = jnp.ones(600, bool)
+        got = np.asarray(register.source_covariances(pj, mask, k=k, method="exact"))
+
+        d2 = np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+        nn = np.argsort(d2, axis=1)[:, :k]
+        for i in rng.choice(600, 40, replace=False):
+            nb = pts[nn[i]]
+            c = np.cov(nb.T, bias=True)
+            vals, vecs = np.linalg.eigh(c)
+            reg = vecs @ np.diag([1e-3 * vals[2], vals[2], vals[2]]) @ vecs.T
+            want = reg[np.triu_indices(3)]
+            np.testing.assert_allclose(got[:, i], want, rtol=2e-2, atol=2e-4)
+
+    def test_exact_mode_aligns(self):
+        world = synthetic.make_room_cloud(12_000, seed=9)
+        R, t = synthetic.random_pose(seed=10, rot_scale=0.04, trans_scale=0.2)
+        src = ((world[:6000] - t) @ R).astype(np.float32).T
+        src_j = jnp.asarray(np.ascontiguousarray(src))
+        mask = jnp.ones(src_j.shape[1], bool)
+        cfg = register.VGICPConfig(resolution=0.8)
+        grid_cfg, target = register.vgicp.build_target(cfg, jnp.asarray(world.T))
+        # k=20 is the reference default (fast_gicp.hpp k_correspondences_);
+        # unbounded exact-kNN neighborhoods need the larger k for stable
+        # normals on sparse synthetic clouds (k=8 lands at ~0.25 m here)
+        cov = register.source_covariances(src_j, mask, k=20, method="exact")
+        r = register.vgicp.align(grid_cfg, target, src_j, cov, mask, cfg=cfg)
+        e = float(np.linalg.norm(np.asarray(r.pose.t) - t))
+        assert e < 0.15, e

@@ -25,7 +25,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def run_case(case, n, iters, baked, capacity):
+def run_case(case, n, iters, baked, capacity, pts=0, nearby=0):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -33,8 +33,11 @@ def run_case(case, n, iters, baked, capacity):
     from pointcloud_slam_tpu.io import synthetic
 
     grid_cfg = ops.GridConfig(
-        capacity=capacity, pts_per_voxel=48 if baked else 8, resolution=0.5,
-        nearby=1 if baked else 7, baked=baked,
+        capacity=capacity,
+        pts_per_voxel=pts or (48 if baked else 8),
+        resolution=0.5,
+        nearby=nearby or (1 if baked else 7),
+        baked=baked,
     )
     world = synthetic.make_room_cloud(60_000, seed=0)
     _, grid = register.build_target_map(jnp.asarray(world.T), grid_cfg=grid_cfg)
@@ -49,6 +52,18 @@ def run_case(case, n, iters, baked, capacity):
         )(src)
         jax.block_until_ready(d2)
         print("OK", float(jnp.sum(cnt)))
+    elif case == "corr":
+        # knn + plane fit fused in one program — the r3-refined minimal crash
+        # shape: at N~20k over a baked grid this CRASHES the TPU worker
+        # (and the same fusion inside a full single-frame ICP solve silently
+        # returns wrong correspondences instead — a miscompilation, not OOM)
+        from pointcloud_slam_tpu.register import icp as icpm
+
+        cfg = register.ICPConfig(search_every=10, warmup_searches=0)
+        coef, valid = jax.jit(
+            lambda s: icpm.correspondences(cfg, grid_cfg, grid, s, jnp.ones(s.shape[1], bool))
+        )(src)
+        print("OK", int(jnp.sum(valid)))
     elif case == "icp":
         cfg = register.ICPConfig(solver=register.SolverConfig(max_iterations=iters))
         res = register.point_to_plane_icp(grid_cfg, grid, src, mask, cfg=cfg)
@@ -65,20 +80,31 @@ def run_case(case, n, iters, baked, capacity):
         raise SystemExit(f"unknown case {case}")
 
 
-def bisect():
+def bisect(matrix: str = "full"):
+    # (case, n, iters, baked, pts, nearby, capacity); pts/nearby 0 = defaults
     cases = []
-    for case in ("knn", "icp", "batched1"):
+    if matrix == "corr":
+        # focused matrix for the r3-refined crash shape: knn+plane-fit fusion
+        # over a baked grid, bench layout (pts 28, nearby 7, cap 2^17)
         for n in (2048, 8192, 20480):
-            cases.append((case, n, 30, True))
-    # control: unbaked versions of the reported failure point
-    cases.append(("icp", 20480, 30, False))
-    # iteration-count sensitivity on the baked solve
-    for iters in (1, 4, 12):
-        cases.append(("icp", 20480, iters, True))
-    print(f"{'case':10s} {'N':>6s} {'iters':>5s} {'baked':>5s}  outcome")
-    for case, n, iters, baked in cases:
+            cases.append(("corr", n, 30, True, 28, 7, 1 << 17))
+        cases.append(("corr", 20480, 30, False, 4, 7, 1 << 17))   # unbaked control
+        cases.append(("corr", 20480, 30, True, 48, 1, 1 << 15))   # nearby-1 bake
+        cases.append(("knn", 20480, 30, True, 28, 7, 1 << 17))    # knn alone
+    else:
+        for case in ("knn", "icp", "batched1"):
+            for n in (2048, 8192, 20480):
+                cases.append((case, n, 30, True, 0, 0, 1 << 15))
+        # control: unbaked versions of the reported failure point
+        cases.append(("icp", 20480, 30, False, 0, 0, 1 << 15))
+        # iteration-count sensitivity on the baked solve
+        for iters in (1, 4, 12):
+            cases.append(("icp", 20480, iters, True, 0, 0, 1 << 15))
+    print(f"{'case':10s} {'N':>6s} {'iters':>5s} {'baked':>5s} {'pts':>4s} {'nb':>3s}  outcome")
+    for case, n, iters, baked, pts, nearby, cap in cases:
         cmd = [sys.executable, os.path.abspath(__file__), "--case", case,
-               "--n", str(n), "--iters", str(iters)]
+               "--n", str(n), "--iters", str(iters), "--capacity", str(cap),
+               "--pts", str(pts), "--nearby", str(nearby)]
         if not baked:
             cmd.append("--unbaked")
         try:
@@ -90,7 +116,7 @@ def bisect():
                 out = f"CRASH rc={p.returncode}: {tail}"
         except subprocess.TimeoutExpired:
             out = "TIMEOUT"
-        print(f"{case:10s} {n:6d} {iters:5d} {str(baked):>5s}  {out}")
+        print(f"{case:10s} {n:6d} {iters:5d} {str(baked):>5s} {pts:4d} {nearby:3d}  {out}")
 
 
 def main():
@@ -99,13 +125,17 @@ def main():
     p.add_argument("--n", type=int, default=20480)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--capacity", type=int, default=1 << 15)
+    p.add_argument("--pts", type=int, default=0, help="pts_per_voxel override")
+    p.add_argument("--nearby", type=int, default=0, help="stencil override")
     p.add_argument("--unbaked", action="store_true")
     p.add_argument("--bisect", action="store_true")
+    p.add_argument("--matrix", default="full", choices=("full", "corr"))
     args = p.parse_args()
     if args.bisect:
-        bisect()
+        bisect(args.matrix)
     else:
-        run_case(args.case, args.n, args.iters, not args.unbaked, args.capacity)
+        run_case(args.case, args.n, args.iters, not args.unbaked, args.capacity,
+                 pts=args.pts, nearby=args.nearby)
 
 
 if __name__ == "__main__":
