@@ -30,11 +30,15 @@ def parse_args():
     p.add_argument("--n_points", type=int, default=17_000, help="~align.cpp's KITTI pair size")
     p.add_argument("--reps", type=int, default=10)
     p.add_argument("--leaf", type=float, default=0.1)
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.add_platform_arg(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.select_platform(args.platform)
     from pointcloud_slam_tpu import ops, register
     from pointcloud_slam_tpu.io import pcd as pcdio, synthetic
 

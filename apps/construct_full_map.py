@@ -40,7 +40,10 @@ def main():
                    "new_localization.cpp:309-321 loads): requires Scans/%%06d.pcd + "
                    "%%06d_corner.pcd artifacts (run_slam_offline --save_artifacts)")
     p.add_argument("--tile", type=float, default=50.0, help="feature-map tile edge [m]")
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.add_platform_arg(p)
     args = p.parse_args()
+    runtime.select_platform(args.platform)
 
     from pointcloud_slam_tpu import ops
     from pointcloud_slam_tpu.io import pcd as pcdio

@@ -31,6 +31,8 @@ def parse_args():
     p.add_argument("--leaf", type=float, default=0.25, help="downsample leaf (kitti.cpp uses 0.25)")
     p.add_argument("--n_points", type=int, default=30_000)
     p.add_argument("--max_frames", type=int, default=0)
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.add_platform_arg(p)
     return p.parse_args()
 
 
@@ -56,6 +58,8 @@ def load_frame(path):
 
 def main():
     args = parse_args()
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.select_platform(args.platform)
     from pointcloud_slam_tpu import ops, register
     from pointcloud_slam_tpu.geom import se3
     from pointcloud_slam_tpu.utils import checkpoint as ck

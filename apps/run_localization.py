@@ -55,6 +55,8 @@ def parse_args():
     p.add_argument("--max_range", type=float, default=50.0)
     p.add_argument("--update_map_dist", type=float, default=10.0, help="re-tile when moved this far")
     p.add_argument("--tile_margin", type=float, default=100.0)
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.add_platform_arg(p)
     return p.parse_args()
 
 
@@ -143,6 +145,8 @@ class TileMapLoader:
 
 def main():
     args = parse_args()
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.select_platform(args.platform)
     from pointcloud_slam_tpu.geom import se3, so3
     from pointcloud_slam_tpu.models.localization import pipeline as loc
     from pointcloud_slam_tpu.utils import checkpoint as ck

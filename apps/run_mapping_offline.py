@@ -27,6 +27,12 @@ import jax.numpy as jnp
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--config_file", default="", help="YAML with lio params")
+    p.add_argument("--bag_file", default="", help="ROS1 bag to replay (CustomMsg/PointCloud2 + Imu)")
+    p.add_argument("--lidar_topic", default="", help="bag lidar topic (default: any lidar-typed topic)")
+    p.add_argument("--imu_topic", default="", help="bag IMU topic (default: any sensor_msgs/Imu)")
+    p.add_argument("--bag_reader", default="auto", choices=("auto", "native", "python"),
+                   help="bag parser: native C++ (bagreader.cpp), pure Python (io.rosbag), "
+                        "or auto (native with Python fallback for bz2 chunks)")
     p.add_argument("--data_dir", default="", help="dataset directory (PCD frames + imu.csv)")
     p.add_argument("--synthetic", type=int, default=0, help="replay N synthetic frames instead")
     p.add_argument("--traj_log_file", default="traj.txt")
@@ -36,6 +42,8 @@ def parse_args():
     p.add_argument("--n_imu", type=int, default=64)
     p.add_argument("--chain", type=int, default=8, help="frames per jitted chain "
                    "(1 = per-frame dispatch; larger amortizes the device round trip)")
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.add_platform_arg(p)
     return p.parse_args()
 
 
@@ -67,6 +75,10 @@ def build_config(args):
             grid_kw["resolution"] = float(pick("ivox_grid_resolution"))
         if pick("ivox_nearby_type") is not None:
             grid_kw["nearby"] = {6: 7, 18: 19, 26: 27}.get(int(pick("ivox_nearby_type")), 7)
+        if pick("ivox_node_phc_order") is not None:
+            # PHC node variant (the reference's IVOX_NODE_TYPE_PHC build mode,
+            # ivox3d_node.hpp): sub-voxel Hilbert centroid merge on insert
+            kw["phc_order"] = int(pick("ivox_node_phc_order"))
         if "extrinsic_est_en" in m:
             kw["extrinsic_est"] = bool(m["extrinsic_est_en"])
         for src_k, dst_k in [("acc_cov", "acc_cov"), ("gyr_cov", "gyr_cov"),
@@ -80,6 +92,94 @@ def build_config(args):
     if grid_kw:
         kw["grid"] = ops.GridConfig(capacity=1 << 17, pts_per_voxel=8, **{"nearby": 7, **grid_kw})
     return lio.LIOConfig(**kw)
+
+
+def _imu_window(imu, t0, t1):
+    """imu rows (t, ax..az, gx..gz): measurements whose interval lies in
+    [t0, t1), stamped at their interval END (the ImuProcess convention —
+    see frames_from_dir)."""
+    t_all = imu[:, 0]
+    dt_all = np.diff(t_all, append=t_all[-1] + (t_all[-1] - t_all[-2] if len(t_all) > 1 else 0.005))
+    sel = (t_all >= t0) & (t_all < t1)
+    chunk = imu[sel]
+    t_end = (t_all[sel] - t0) + dt_all[sel]
+    return chunk, t_end
+
+
+def frames_from_bag(args):
+    """Replay a recorded ROS1 bag (the reference's primary input:
+    run_mapping_offline.cc:46-82 iterates rosbag records and dispatches
+    CustomMsg / PointCloud2 / Imu callbacks). Livox CustomMsg scans go
+    through the livox_repub conversion; PointCloud2 schemas keep their
+    vendor fields so per-point times resolve by the usual priority chain.
+
+    Reader selection (--bag_reader): 'native' = the C++ reader
+    (native/src/bagreader.cpp — the reference's replay input is native
+    rosbag C++ too); 'python' = io.rosbag; 'auto' prefers native and falls
+    back to Python for bags it can't take (bz2 chunks)."""
+    from pointcloud_slam_tpu.io import converters, feed
+
+    imu_rows, scans = [], []
+    reader_used = getattr(args, "bag_reader", "auto")
+    if reader_used in ("auto", "native"):
+        from pointcloud_slam_tpu import native
+
+        try:
+            with native.NativeBagReader(args.bag_file, args.lidar_topic, args.imu_topic) as nb:
+                for kind, payload in nb:
+                    if kind == "imu":
+                        t, acc, gyro = payload
+                        imu_rows.append([t, *acc, *gyro])
+                    else:
+                        stamp, xyz, t_abs, _intensity, ring = payload
+                        # time_source 0 = no per-point channel: let the Python
+                        # priority chain try ring/yaw synthesis below
+                        scans.append((stamp, xyz, (t_abs - stamp).astype(np.float32),
+                                      ring, nb.cloud_time_source))
+        except ValueError as e:
+            if reader_used == "native":
+                raise SystemExit(f"native bag reader: {e}")
+            reader_used = "python"  # e.g. bz2 chunks
+        else:
+            reader_used = "native"
+    if reader_used != "native":
+        from pointcloud_slam_tpu.io import rosbag
+
+        for topic, typ, _t, msg in rosbag.read_bag(args.bag_file):
+            if typ == "sensor_msgs/Imu":
+                if not args.imu_topic or topic == args.imu_topic:
+                    imu_rows.append([msg["stamp"], *msg["acc"], *msg["gyro"]])
+            elif not args.lidar_topic or topic == args.lidar_topic:
+                if typ.endswith("CustomMsg"):
+                    cloud = converters.livox_custom_to_xyzirt(
+                        msg["x"], msg["y"], msg["z"], msg["reflectivity"],
+                        msg["line"], msg["offset_time"])
+                else:
+                    cloud = msg
+                pts = np.stack([cloud["x"], cloud["y"], cloud["z"]], axis=1).astype(np.float32)
+                scans.append((msg["stamp"], pts, cloud, None, None))
+    if not scans:
+        raise SystemExit(f"{args.bag_file}: no lidar scans found"
+                         + (f" on topic {args.lidar_topic}" if args.lidar_topic else ""))
+    imu = np.asarray(imu_rows, np.float64).reshape(-1, 7)
+    scans.sort(key=lambda s: s[0])
+    for k, (t0, pts, third, ring, tsrc) in enumerate(scans):
+        t1 = scans[k + 1][0] if k + 1 < len(scans) else t0 + 0.1
+        chunk, t_end = _imu_window(imu, t0, t1)
+        if tsrc is None:          # python path: third = cloud dict
+            pts = np.ascontiguousarray(pts, np.float32)
+            t_offs = converters.point_times_from_cloud(third, scan_duration=float(t1 - t0))
+        elif tsrc == 0 and ring is not None and np.any(ring):
+            # native ramp fallback, but rings exist: ring/yaw synthesis
+            t_offs = converters.point_times_from_cloud(
+                {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2], "ring": ring},
+                scan_duration=float(t1 - t0))
+        else:
+            t_offs = third
+        yield feed.make_frame(
+            pts, t_offs, chunk[:, 1:4].astype(np.float32), chunk[:, 4:7].astype(np.float32),
+            t_end.astype(np.float32), args.n_points, args.n_imu, prev_imu_t=0.0,
+        ), t1
 
 
 def frames_from_dir(args):
@@ -103,11 +203,7 @@ def frames_from_dir(args):
         # wants the measurements whose INTERVAL lies in [t0, t1), stamped at
         # their interval END (make_frame's imu_t are post-step offsets —
         # see tests/test_lio.simulate_sequence, the convention oracle).
-        t_all = imu[:, 0]
-        dt_all = np.diff(t_all, append=t_all[-1] + (t_all[-1] - t_all[-2] if len(t_all) > 1 else 0.005))
-        sel = (t_all >= t0) & (t_all < t1)
-        chunk = imu[sel]
-        t_end = (t_all[sel] - t0) + dt_all[sel]
+        chunk, t_end = _imu_window(imu, t0, t1)
         t_offs = converters.point_times_from_cloud(cloud, scan_duration=float(t1 - t0))
         yield feed.make_frame(
             pts, t_offs, chunk[:, 1:4].astype(np.float32), chunk[:, 4:7].astype(np.float32),
@@ -126,6 +222,8 @@ def frames_synthetic(args):
 
 def main():
     args = parse_args()
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.select_platform(args.platform)
     from pointcloud_slam_tpu.geom import so3
     from pointcloud_slam_tpu.models import lio
     from pointcloud_slam_tpu.utils import checkpoint as ck
@@ -142,7 +240,12 @@ def main():
         lambda s, fs: jax.lax.scan(lambda st, fr: lio.lio_step(cfg, st, fr), s, fs)
     )
 
-    src = frames_from_dir(args) if args.data_dir else frames_synthetic(args)
+    if args.bag_file:
+        src = frames_from_bag(args)
+    elif args.data_dir:
+        src = frames_from_dir(args)
+    else:
+        src = frames_synthetic(args)
     times, poss, quats = [], [], []
     n = 0
     t_start = time.perf_counter()

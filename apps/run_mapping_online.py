@@ -104,7 +104,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=20)
     p.add_argument("--n_points", type=int, default=2048)
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.add_platform_arg(p)
     args = p.parse_args()
+    runtime.select_platform(args.platform)
 
     mapper = OnlineMapper(n_points=args.n_points, n_imu=32)
     t_start = time.perf_counter()

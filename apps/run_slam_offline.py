@@ -32,6 +32,8 @@ import jax.numpy as jnp
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--data_dir", default="")
+    p.add_argument("--bag_file", default="", help="ROS1 bag to replay (PointCloud2/CustomMsg scans)")
+    p.add_argument("--lidar_topic", default="", help="bag lidar topic (default: any lidar-typed topic)")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--out_dir", default="slam_out")
     p.add_argument("--n_corner", type=int, default=512)
@@ -41,7 +43,38 @@ def parse_args():
     p.add_argument("--debug", default="", help="comma-separated debug channels to record "
                    "(loop_constraints, effect_points) — the reference's debug-topic role "
                    "(mapOptmization.cpp:1020-1068); written as npz under <out_dir>/debug")
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.add_platform_arg(p)
     return p.parse_args()
+
+
+def cloud_source(args):
+    """Yield (k, cloud-dict) scans from --bag_file (PointCloud2 any schema,
+    or livox CustomMsg via the livox_repub conversion) or from a directory
+    of frame_%06d.pcd files."""
+    if args.bag_file:
+        from pointcloud_slam_tpu.io import converters, rosbag
+
+        k = 0
+        for topic, typ, _t, msg in rosbag.read_bag(args.bag_file):
+            if typ == "sensor_msgs/Imu":
+                continue
+            if args.lidar_topic and topic != args.lidar_topic:
+                continue
+            if typ.endswith("CustomMsg"):
+                msg = converters.livox_custom_to_xyzirt(
+                    msg["x"], msg["y"], msg["z"], msg["reflectivity"],
+                    msg["line"], msg["offset_time"])
+            yield k, msg
+            k += 1
+    else:
+        from pointcloud_slam_tpu.io import pcd as pcdio
+
+        frame_files = sorted(
+            f for f in os.listdir(args.data_dir) if f.startswith("frame_") and f.endswith(".pcd")
+        )
+        for k, name in enumerate(frame_files):
+            yield k, pcdio.read_pcd(os.path.join(args.data_dir, name))
 
 
 def synthetic_frames(n):
@@ -59,6 +92,8 @@ def synthetic_frames(n):
 
 def main():
     args = parse_args()
+    from pointcloud_slam_tpu.utils import runtime
+    runtime.select_platform(args.platform)
     from pointcloud_slam_tpu.models.liosam import backend as bk
     from pointcloud_slam_tpu.models.liosam import features, projection, slam
     from pointcloud_slam_tpu.utils import checkpoint as ck
@@ -141,13 +176,7 @@ def main():
                     state.kf_corner[k], state.kf_corner_mask[k],
                 )
     else:
-        from pointcloud_slam_tpu.io import pcd as pcdio
-
-        frame_files = sorted(
-            f for f in os.listdir(args.data_dir) if f.startswith("frame_") and f.endswith(".pcd")
-        )
-        for k, name in enumerate(frame_files):
-            cloud = pcdio.read_pcd(os.path.join(args.data_dir, name))
+        for k, cloud in cloud_source(args):
             pts = np.stack([cloud["x"], cloud["y"], cloud["z"]], axis=0).astype(np.float32)
             N = pts.shape[1]
             cap = pcfg.n_scan * pcfg.horizon_scan if hasattr(pcfg, "n_scan") else N

@@ -1,5 +1,5 @@
-"""Host-side IO: synthetic data, PCD files, sensor feeds."""
+"""Host-side IO: synthetic data, PCD files, rosbags, sensor feeds."""
 
-from . import feed, pcd, synthetic
+from . import feed, pcd, rosbag, synthetic
 
-__all__ = ["feed", "pcd", "synthetic"]
+__all__ = ["feed", "pcd", "rosbag", "synthetic"]

@@ -25,7 +25,7 @@ _lib: Optional[ctypes.CDLL] = None
 def _build() -> str:
     os.makedirs(_BUILD, exist_ok=True)
     out = os.path.join(_BUILD, "libpcs_native.so")
-    srcs = [os.path.join(_SRC, f) for f in ("oracle.cpp", "ingest.cpp", "live_driver.cpp")]
+    srcs = [os.path.join(_SRC, f) for f in ("oracle.cpp", "ingest.cpp", "live_driver.cpp", "bagreader.cpp")]
     newest_src = max(os.path.getmtime(s) for s in srcs)
     if not os.path.exists(out) or os.path.getmtime(out) < newest_src:
         cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", out] + srcs
@@ -79,6 +79,23 @@ def lib() -> ctypes.CDLL:
                                      ctypes.c_int]
         L.live_queue_depth.restype = ctypes.c_int
         L.live_queue_depth.argtypes = [ctypes.c_void_p]
+        L.bag_last_error.restype = ctypes.c_char_p
+        L.bag_open.restype = ctypes.c_void_p
+        L.bag_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+        L.bag_close.argtypes = [ctypes.c_void_p]
+        L.bag_num_messages.restype = ctypes.c_int
+        L.bag_num_messages.argtypes = [ctypes.c_void_p]
+        L.bag_next.restype = ctypes.c_int
+        L.bag_next.argtypes = [ctypes.c_void_p]
+        L.bag_imu.argtypes = [ctypes.c_void_p, dp, dp, dp]
+        L.bag_cloud_size.restype = ctypes.c_int
+        L.bag_cloud_size.argtypes = [ctypes.c_void_p]
+        L.bag_cloud_stamp.restype = ctypes.c_double
+        L.bag_cloud_stamp.argtypes = [ctypes.c_void_p]
+        L.bag_cloud_time_source.restype = ctypes.c_int
+        L.bag_cloud_time_source.argtypes = [ctypes.c_void_p]
+        L.bag_cloud_read.restype = ctypes.c_int
+        L.bag_cloud_read.argtypes = [ctypes.c_void_p, fp, dp, fp, ip, ctypes.c_int]
     return _lib
 
 
@@ -274,3 +291,72 @@ class LiveDriverShim:
         out["imu_mask"] = out["imu_mask"].astype(bool)
         out["n_valid"] = n
         return out
+
+
+class NativeBagReader:
+    """C++ bag reader (native/src/bagreader.cpp) — the native replay input.
+
+    Iterates the bag's Imu/PointCloud2/CustomMsg messages chronologically:
+
+        with NativeBagReader(path) as bag:
+            for kind, payload in bag:
+                if kind == "imu":   t, acc, gyro = payload
+                else:               stamp, xyz, t_abs, intensity, ring = payload
+
+    Covers uncompressed bags/chunks (the replay hot path); bz2 bags raise
+    with a message pointing at the pure-Python io.rosbag reader.
+    """
+
+    def __init__(self, path: str, lidar_topic: str = "", imu_topic: str = ""):
+        self._L = lib()
+        self._h = self._L.bag_open(
+            path.encode(), lidar_topic.encode(), imu_topic.encode()
+        )
+        if not self._h:
+            raise ValueError(self._L.bag_last_error().decode())
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    def close(self):
+        if self._h:
+            self._L.bag_close(self._h)
+            self._h = None
+
+    def __len__(self):
+        return self._L.bag_num_messages(self._h)
+
+    def __iter__(self):
+        while True:
+            kind = self._L.bag_next(self._h)
+            if kind == 0:
+                return
+            if kind == -1:  # undecodable message: skip (the reference's
+                continue    # rosbag::View equally skips foreign payloads)
+            if kind == 1:
+                t = np.zeros(1)
+                acc = np.zeros(3)
+                gyro = np.zeros(3)
+                self._L.bag_imu(self._h, _dptr(t), _dptr(acc), _dptr(gyro))
+                yield "imu", (float(t[0]), acc, gyro)
+            else:
+                n = self._L.bag_cloud_size(self._h)
+                stamp = self._L.bag_cloud_stamp(self._h)
+                xyz = np.zeros((n, 3), np.float32)
+                t_abs = np.zeros(n, np.float64)
+                intensity = np.zeros(n, np.float32)
+                ring = np.zeros(n, np.int32)
+                got = self._L.bag_cloud_read(
+                    self._h, _fptr(xyz), _dptr(t_abs), _fptr(intensity), _iptr(ring), n
+                )
+                assert got == n
+                yield "cloud", (stamp, xyz, t_abs, intensity, ring)
+
+    @property
+    def cloud_time_source(self) -> int:
+        """Per-point time provenance of the LAST cloud (0 ramp, 1 time[s],
+        2 t[ns], 3 timestamp[abs s], 4 curvature[ms], 5 livox offset)."""
+        return self._L.bag_cloud_time_source(self._h)

@@ -176,6 +176,23 @@ def gen_lio(args):
         for t, p, R in gt:
             q = to_quat(R)
             fh.write(f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")
+    if getattr(args, "bag", False):
+        # the SAME sequence as a ROS1 bag (/livox/lidar CustomMsg +
+        # /imu/data), the reference's native replay input — lets
+        # run_mapping_offline --bag_file be validated against --data_dir
+        from pointcloud_slam_tpu.io import rosbag
+
+        with rosbag.BagWriter(os.path.join(out, "data.bag")) as bw:
+            for i in range(len(traj["t"])):
+                bw.write_imu("/imu/data", float(traj["t"][i]), traj["acc"][i], traj["gyro"][i])
+            for f in range(args.frames):
+                cloud = pcdio.read_pcd(os.path.join(out, f"frame_{f:06d}.pcd"))
+                pts = np.stack([cloud["x"], cloud["y"], cloud["z"]], 1)
+                bw.write_livox("/livox/lidar", float(scan_times[f]), pts,
+                               (np.asarray(cloud["time"], np.float64) * 1e9).astype(np.uint32),
+                               reflectivity=np.asarray(cloud["intensity"], np.float64).astype(np.uint8),
+                               line=np.asarray(cloud["ring"], np.int32).astype(np.uint8))
+        print(f"rosbag -> {os.path.join(out, 'data.bag')}")
     print(f"lio sequence: {args.frames} frames -> {out}")
 
 
@@ -186,6 +203,7 @@ def main():
     p.add_argument("--frames", type=int, default=120)
     p.add_argument("--points", type=int, default=30_000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bag", action="store_true", help="lio mode: also write the sequence as data.bag")
     args = p.parse_args()
     if args.mode == "kitti":
         gen_kitti(args)
