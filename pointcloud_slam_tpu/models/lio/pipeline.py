@@ -46,6 +46,11 @@ class LIOConfig:
     # lever; size above the expected downsample survivors for the lidar+leaf.
     scan_budget: int = 10240         # points carried into the iterated update
     insert_budget: int = 6144        # gated map-insert candidates per frame
+    # PHC node mode (ivox_node_type phc, ivox3d_node.hpp IVoxNodePhc): when
+    # > 0, map-insert candidates are centroid-merged per Hilbert sub-cube of
+    # edge resolution/2^order and stored in curve order — at most one map
+    # point per sub-cube, the PHC node's density bound. 0 = linear node.
+    phc_order: int = 0
     max_iterations: int = 4          # options::NUM_MAX_ITERATIONS
     epsi: float = 0.001              # convergence limit per error dim
     laser_point_cov: float = 0.001   # options::LASER_POINT_COV
@@ -259,7 +264,16 @@ def lio_step(cfg: LIOConfig, s: LIOState, frame: LIOFrame):
         pw = R_wl @ pts_d + t_wl[:, None]
         _, _, nbrs, d2, cnt = upd.cache
         ins_mask = _map_insert_mask(cfg, pw, mask_d, nbrs, d2, cnt)
-        if cfg.insert_budget:
+        if cfg.phc_order:
+            # PHC node mode: merge same-sub-cube candidates to their centroid;
+            # the curve-ordered output is already compact (centroids packed
+            # front), so slicing replaces ops.compact
+            pw, ins_mask = ops.phc_merge(
+                pw, ins_mask, cfg.grid.resolution, cfg.phc_order, curve_output=True
+            )
+            if cfg.insert_budget:
+                pw, ins_mask = pw[:, : cfg.insert_budget], ins_mask[: cfg.insert_budget]
+        elif cfg.insert_budget:
             pw, ins_mask = ops.compact(pw, ins_mask, cfg.insert_budget)
         grid = ops.insert(cfg.grid, grid, pw, ins_mask)
         n_eff = jnp.sum(mask_d)

@@ -1,8 +1,9 @@
 """Core data-structure ops: voxel-hash map, downsampling, masked reductions."""
 
-from . import gaussian_grid
+from . import gaussian_grid, phc
 from .downsample import compact, random_decimate, voxel_downsample
 from .gaussian_grid import GaussianVoxelMap
+from .phc import hilbert_coords, hilbert_index, phc_merge, phc_sort
 from .voxel_grid import (
     GridConfig, VoxelHashMap, create, insert, knn, knn_table, lookup, num_voxels,
     point_to_voxel, stencil_offsets,
@@ -10,6 +11,11 @@ from .voxel_grid import (
 
 __all__ = [
     "gaussian_grid",
+    "phc",
+    "hilbert_index",
+    "hilbert_coords",
+    "phc_merge",
+    "phc_sort",
     "GaussianVoxelMap",
     "GridConfig",
     "VoxelHashMap",

@@ -1,5 +1,6 @@
 """LIO filter tests: ESKF unit parity + end-to-end synthetic odometry."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -210,3 +211,28 @@ class TestLIOPipeline:
         cfg = lio.LIOConfig()
         s = lio.reset(cfg)
         assert not bool(s.initialized)
+
+    @pytest.mark.heavy
+    def test_end_to_end_phc_node(self):
+        """PHC node mode (phc_order>0, ivox3d_node.hpp IVoxNodePhc role):
+        sub-voxel Hilbert centroid merge on insert keeps the tracker accurate
+        while bounding per-voxel density."""
+        cfg = lio.LIOConfig(
+            grid=__import__("pointcloud_slam_tpu").ops.GridConfig(
+                capacity=1 << 15, pts_per_voxel=8, resolution=0.4, nearby=7
+            ),
+            scan_leaf=0.3,
+            map_leaf=0.3,
+            init_imu_frames=2,
+            phc_order=2,
+        )
+        world, traj, frames = simulate_sequence(n_frames=15)
+        s = lio.create_state(cfg)
+        step = jax.jit(lambda s, f: lio.lio_step(cfg, s, f))
+        errs = []
+        for k, (fr, gt_pos, gt_R) in enumerate(frames):
+            s, out = step(s, fr)
+            if k >= 5:
+                errs.append(np.asarray(out.pos) - (gt_pos - frames[0][1]))
+        errs = np.linalg.norm(np.stack(errs), axis=1)
+        assert errs[-1] < 0.25, f"final position error {errs[-1]:.3f} m"
