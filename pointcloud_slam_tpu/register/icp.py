@@ -63,17 +63,21 @@ def correspondences(
     grid: ops.VoxelHashMap,
     pts_world: jnp.ndarray,
     mask: jnp.ndarray,
+    barrier: bool = True,
 ):
     """5-NN + plane fit for each world-frame point. pts_world is (3, N).
 
     Returns (coef (4, N) plane [n, d], valid (N,)).
     """
     nbrs, d2, cnt, _ = ops.knn(grid_cfg, grid, pts_world, k=cfg.num_neighbors, max_range=cfg.max_corr_dist)
-    if grid_cfg.baked:
+    if grid_cfg.baked and barrier:
         # fusing the baked-grid kNN gather chain into the plane-fit compute
-        # miscompiles on this libtpu (flaky worker crash, or deterministically
-        # wrong neighbors in single-frame programs — tools/repro_baked_single);
-        # a barrier forces the search to materialize before the fit consumes it
+        # miscompiles on this libtpu in SINGLE-FRAME programs (flaky worker
+        # crash, or deterministically wrong neighbors — tools/repro_baked_single);
+        # a barrier forces the search to materialize before the fit consumes
+        # it. The batched multi-frame formulation of the identical workload
+        # never misbehaves (full repro matrix), so batched callers pass
+        # barrier=False and keep the fully fused schedule.
         nbrs, d2, cnt = jax.lax.optimization_barrier((nbrs, d2, cnt))
     nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
     coef, plane_ok = fit.plane_fit(nbrs, nmask, threshold=cfg.plane_threshold, min_pts=cfg.min_neighbors)
@@ -246,7 +250,9 @@ def batched_point_to_plane_icp(
         return pw.transpose(1, 0, 2).reshape(3, B * N)
 
     def search(R, t):
-        return correspondences(cfg, grid_cfg, grid, transform(R, t), mask_flat)
+        # barrier=False: the batched formulation is not affected by the
+        # baked-grid fusion miscompile (see correspondences)
+        return correspondences(cfg, grid_cfg, grid, transform(R, t), mask_flat, barrier=False)
 
     # Statically unrolled search schedule: one search per round, then
     # `search_every` GN iterations against the cached planes inside a scan.
