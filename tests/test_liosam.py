@@ -238,6 +238,22 @@ class TestParamServer:
         # the config is hashable/usable as a jit static arg
         hash(cfg)
 
+    def test_params_2_variant(self):
+        # the localization-deployment variant (reference config/params_2.yaml):
+        # LOAM matching over the rslidar topic, same lidar geometry
+        import os
+        from pointcloud_slam_tpu.models.liosam import params as ps
+        from pointcloud_slam_tpu.utils import config as cfgio
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        y = cfgio.load_yaml(os.path.join(root, "configs", "slam", "params_2.yaml"))
+        cfg, pcfg, fcfg, info = ps.slam_config_from_params(y)
+        assert pcfg.n_scan == 16 and pcfg.horizon == 1800
+        assert info["unused"] == [], info["unused"]
+        lcfg, tiles = ps.localization_config_from_params(y)
+        assert lcfg.method == "loam"
+        assert y["jueying_slam"]["pointCloudTopic"] == "/rslidar_points"
+
     def test_localization_params(self):
         import os
         from pointcloud_slam_tpu.models.liosam import params as ps
