@@ -139,7 +139,11 @@ class TileMapLoader:
         # map must be built with that exact grid config (static-arg identity)
         grid_cfg = self.cfg.scan2map.surf_grid
         _, point_map = register.build_target_map(pts, grid_cfg=grid_cfg)
-        ndt_grid, ndt_map = register.ndt.build_target(self.cfg.ndt, pts, capacity=1 << 15)
+        # baked: the tile map is built once per map update and queried every
+        # frame — the stencil-baked layout (gg.bake) pays its one-time build
+        # for a ~nearby x cheaper gather phase per localization solve
+        ndt_grid, ndt_map = register.ndt.build_target(
+            self.cfg.ndt, pts, capacity=1 << 15, baked=True)
         return grid_cfg, point_map, ndt_grid, ndt_map
 
 

@@ -148,3 +148,62 @@ def build(config: GridConfig, points: jnp.ndarray, mask: jnp.ndarray, mode: str 
 def probe(config: GridConfig, g: GaussianVoxelMap, coords3: tuple) -> jnp.ndarray:
     """Slot per query voxel coord (component arrays), -1 if absent."""
     return _probe_match_fp(config, g.fp, coords3[0], coords3[1], coords3[2])
+
+
+class BakedGaussianMap(NamedTuple):
+    """Stencil-baked Gaussian map: ONE slot lookup returns every stencil
+    neighbor's statistics.
+
+    The NDT/VGICP score sums over all `nearby` stencil voxels per query
+    (ndt_omp `getNeighborhoodAtPoint*`, fast_vgicp DIRECT modes), so the
+    query-time stencil costs S wide gathers per search pass. TPU gathers are
+    row-rate-bound, so the same insert-time trick as the point map's baked
+    mode (GridConfig.baked) applies: every occupied voxel writes its
+    (mean, icov, cov) into the slot of EACH query voxel whose stencil
+    contains it — entry index = stencil-offset index, so the layout needs no
+    in-slot ordering and collisions are impossible (at most one voxel per
+    (query voxel, offset) pair). A query is then one fingerprint probe plus
+    one (S*10, C) column gather instead of S separate probe+gathers.
+    """
+
+    fp: jnp.ndarray       # uint32 (C,) fingerprint of the QUERY voxel, 0 = empty
+    entries: jnp.ndarray  # (S, 10, C): [valid, mean(3), icov(6)] per stencil entry
+    covs: jnp.ndarray     # (S, 6, C): regularized covariance (D2D consumers)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "baked_config"))
+def bake(config: GridConfig, g: GaussianVoxelMap, baked_config: GridConfig) -> BakedGaussianMap:
+    """Expand a finalized GaussianVoxelMap into its stencil-baked form.
+
+    `baked_config` sizes the baked table (capacity >= the number of voxels
+    covered by any stencil neighborhood, i.e. up to `nearby` x occupied; its
+    `nearby` selects the stencil). One-time build cost: S x capacity claim
+    rounds + scatters — amortized over every search pass of every alignment
+    against this target (NDT targets are built once per map/tile)."""
+    from .voxel_grid import stencil_offsets
+
+    C = config.capacity
+    C2 = baked_config.capacity
+    offs = stencil_offsets(baked_config.nearby)  # (S, 3)
+    S = len(offs)
+    dtype = g.mean.dtype
+
+    fp2 = jnp.zeros((C2,), jnp.uint32)
+    stamp0 = jnp.zeros((C2,), jnp.int32)
+    counter = jnp.ones((), jnp.int32)
+    entries = jnp.zeros((S, 10, C2), dtype)
+    covs = jnp.zeros((S, 6, C2), dtype)
+    stats = jnp.concatenate(
+        [jnp.ones((1, C), dtype), g.mean, g.icov], axis=0
+    )  # (10, C) with the valid flag leading
+    valid = g.valid
+    for s, (ox, oy, oz) in enumerate(offs.tolist()):
+        # occupied voxel u fills entry s of query voxel v = u - offs[s]
+        cx, cy, cz = g.keys[0] - ox, g.keys[1] - oy, g.keys[2] - oz
+        fp2, _, _, slot = _claim_loop(baked_config, fp2, stamp0, counter, cx, cy, cz, valid)
+        tgt = jnp.where(valid & (slot < C2), slot, C2)
+        for r in range(10):
+            entries = entries.at[s, r, tgt].set(jnp.where(valid, stats[r], 0.0), mode="drop")
+        for r in range(6):
+            covs = covs.at[s, r, tgt].set(jnp.where(valid, g.cov[r], 0.0), mode="drop")
+    return BakedGaussianMap(fp=fp2, entries=entries, covs=covs)

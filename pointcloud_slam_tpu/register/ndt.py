@@ -63,13 +63,26 @@ class NDTResult(NamedTuple):
     max_eigen: jnp.ndarray  # largest Hessian eigenvalue (degeneracy judge)
 
 
-def build_target(cfg: NDTConfig, target: jnp.ndarray, mask: Optional[jnp.ndarray] = None, capacity: int = 1 << 16):
-    """Voxelize the target cloud into Gaussian statistics (VoxelGridCovariance)."""
+def build_target(cfg: NDTConfig, target: jnp.ndarray, mask: Optional[jnp.ndarray] = None, capacity: int = 1 << 16,
+                 baked: bool = False, baked_capacity: Optional[int] = None):
+    """Voxelize the target cloud into Gaussian statistics (VoxelGridCovariance).
+
+    baked=True additionally expands the map into its stencil-baked form
+    (gg.bake): align() then needs ONE fingerprint probe + ONE wide column
+    gather per query instead of `nearby` separate probe+gathers — the same
+    row-rate-bound argument as the point map's GridConfig.baked. Results are
+    identical (same stencil, same statistics); size `baked_capacity` above
+    the number of voxels any stencil neighborhood covers (default 4x)."""
     if mask is None:
         mask = jnp.ones(target.shape[1], bool)
     grid_cfg = ops.GridConfig(capacity=capacity, resolution=cfg.resolution, nearby=cfg.nearby)
     g = gg.build(grid_cfg, target, mask, mode="ndt", min_points=cfg.min_points_per_voxel)
-    return grid_cfg, g
+    if not baked:
+        return grid_cfg, g
+    baked_cfg = ops.GridConfig(
+        capacity=baked_capacity or 4 * capacity, resolution=cfg.resolution, nearby=cfg.nearby
+    )
+    return baked_cfg, gg.bake(grid_cfg, g, baked_cfg)
 
 
 def _correspond(cfg: NDTConfig, grid_cfg, g: gg.GaussianVoxelMap, pw, mask):
@@ -115,6 +128,30 @@ def _correspond(cfg: NDTConfig, grid_cfg, g: gg.GaussianVoxelMap, pw, mask):
         jnp.stack(icovs, axis=1),   # (6, S, N)
         jnp.stack(valids, axis=0),  # (S, N)
     )
+
+
+def _correspond_baked(cfg: NDTConfig, baked_cfg, b: "gg.BakedGaussianMap", pw, mask):
+    """Stencil-baked correspondence: same outputs as _correspond from ONE
+    fingerprint probe + ONE (S*10, C) column gather per query (gg.bake)."""
+    from ..ops.voxel_grid import _fingerprint, _hash3
+
+    C, P = baked_cfg.capacity, baked_cfg.probe
+    S = ops.stencil_offsets(cfg.nearby).shape[0]
+    N = pw.shape[1]
+    coords = ops.point_to_voxel(pw, cfg.resolution)
+    h0 = _hash3(coords[0], coords[1], coords[2], C)
+    fpq = _fingerprint(coords[0], coords[1], coords[2])
+    tblfp = jnp.stack([jnp.roll(b.fp, -j) for j in range(P)], axis=0)  # (P, C)
+    gfp = tblfp[:, h0]                                                # (P, N)
+    match = gfp == fpq[None, :]
+    anym = jnp.any(match, axis=0)
+    jm = jnp.argmax(match, axis=0).astype(jnp.int32)
+    safe = (h0 + jm) & (C - 1)
+    ent = b.entries.reshape(S * 10, C)[:, safe].reshape(S, 10, N)     # ONE gather
+    valid = (ent[:, 0] > 0.5) & anym[None, :] & mask[None, :]
+    means = jnp.moveaxis(ent[:, 1:4], 1, 0)   # (3, S, N)
+    icovs = jnp.moveaxis(ent[:, 4:10], 1, 0)  # (6, S, N)
+    return means, icovs, valid
 
 
 def _linearize_cached(d1, d2, means, icovs, valid, pw, src):
@@ -307,8 +344,12 @@ def align(
     S = ops.stencil_offsets(cfg.nearby).shape[0]
     N = source.shape[1]
 
+    baked = isinstance(target, gg.BakedGaussianMap)
+
     def search(pose):
         pw = pose.apply(source)
+        if baked:
+            return _correspond_baked(cfg, grid_cfg, target, pw, source_mask)
         return _correspond(cfg, grid_cfg, target, pw, source_mask)
 
     # static search schedule: one correspondence pass per `search_every`-

@@ -49,7 +49,10 @@ class TestLocalizationNDT:
     def test_localize_and_loss_detection(self):
         world = synthetic.make_room_cloud(6000, seed=0)
         cfg = localization.LocalizationConfig(method="ndt", fitness_thresh=0.15)
-        ndt_grid_cfg, ndt_map = register.ndt.build_target(cfg.ndt, soa(world))
+        # baked=True is the tile-map layout run_localization ships (one wide
+        # gather per query; equivalence to unbaked is tested in
+        # test_registration.test_baked_target_matches_unbaked)
+        ndt_grid_cfg, ndt_map = register.ndt.build_target(cfg.ndt, soa(world), baked=True)
         pt_cfg = ops.GridConfig(capacity=1 << 14, pts_per_voxel=8, resolution=1.0, nearby=7)
         pt_map = ops.insert(pt_cfg, ops.create(pt_cfg), soa(world), jnp.ones(len(world), bool))
 

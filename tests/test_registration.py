@@ -74,6 +74,46 @@ class TestNDT:
         assert rot_err < 1.0
         assert trans_err < 0.1
 
+    def test_baked_target_matches_unbaked(self):
+        """gg.bake: the stencil-baked NDT target must produce the SAME
+        correspondences, score and pose as the plain map (identical stencil
+        and statistics; only the gather layout changes)."""
+        world, src, R, t = make_pair(seed=3)
+        cfg = register.NDTConfig(resolution=1.0)
+        grid_cfg, target = register.ndt.build_target(cfg, soa(world), capacity=1 << 13)
+        bcfg, btarget = register.ndt.build_target(cfg, soa(world), capacity=1 << 13, baked=True)
+        res_u = register.ndt.align(grid_cfg, target, soa(src), cfg=cfg)
+        res_b = register.ndt.align(bcfg, btarget, soa(src), cfg=cfg)
+        np.testing.assert_allclose(np.asarray(res_b.pose.t), np.asarray(res_u.pose.t), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res_b.pose.R), np.asarray(res_u.pose.R), atol=1e-4)
+        np.testing.assert_allclose(float(res_b.score), float(res_u.score), rtol=1e-3)
+        # correspondence-level equality on a fixed query set
+        import jax
+        pw = jnp.asarray(soa(world)[:, :500])
+        mask = jnp.ones(500, bool)
+        m_u, i_u, v_u = register.ndt._correspond(cfg, grid_cfg, target, pw, mask)
+        m_b, i_b, v_b = register.ndt._correspond_baked(cfg, bcfg, btarget, pw, mask)
+        np.testing.assert_array_equal(np.asarray(v_b), np.asarray(v_u))
+        np.testing.assert_allclose(
+            np.asarray(m_b)[:, np.asarray(v_b)], np.asarray(m_u)[:, np.asarray(v_u)], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(i_b)[:, np.asarray(v_b)], np.asarray(i_u)[:, np.asarray(v_u)], atol=1e-5
+        )
+
+    def test_baked_covers_empty_query_voxels(self):
+        """A query in an EMPTY voxel adjacent to occupied ones must still see
+        its neighbors (bake creates slots for covered-but-empty voxels)."""
+        pts = np.zeros((200, 3), np.float32)
+        pts[:, 0] = np.linspace(0.1, 0.9, 200)  # all inside voxel (0,0,0)
+        pts[:, 1] = 0.5 + 0.3 * np.sin(np.arange(200))
+        pts[:, 2] = 0.5 + 0.3 * np.cos(np.arange(200) * 0.7)
+        cfg = register.NDTConfig(resolution=1.0, min_points_per_voxel=6)
+        bcfg, btarget = register.ndt.build_target(cfg, soa(pts), capacity=1 << 10, baked=True)
+        q = jnp.asarray(np.array([[1.5, 0.5, 0.5]], np.float32).T)  # voxel (1,0,0): empty
+        m, i, v = register.ndt._correspond_baked(cfg, bcfg, btarget, q, jnp.ones(1, bool))
+        assert int(np.asarray(v).sum()) == 1  # the face neighbor (0,0,0)
+
     def test_max_eigen_export(self):
         world, src, _, _ = make_pair(seed=1)
         cfg = register.NDTConfig(resolution=1.0)
