@@ -168,7 +168,8 @@ class BakedGaussianMap(NamedTuple):
 
     fp: jnp.ndarray       # uint32 (C,) fingerprint of the QUERY voxel, 0 = empty
     entries: jnp.ndarray  # (S, 10, C): [valid, mean(3), icov(6)] per stencil entry
-    covs: jnp.ndarray     # (S, 6, C): regularized covariance (D2D consumers)
+    covs: jnp.ndarray     # (S, 6, C): regularized covariance (VGICP/D2D consumers)
+    counts: jnp.ndarray   # (S, C): per-entry point count (VGICP sqrt-count weight)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "baked_config"))
@@ -193,6 +194,7 @@ def bake(config: GridConfig, g: GaussianVoxelMap, baked_config: GridConfig) -> B
     counter = jnp.ones((), jnp.int32)
     entries = jnp.zeros((S, 10, C2), dtype)
     covs = jnp.zeros((S, 6, C2), dtype)
+    counts = jnp.zeros((S, C2), dtype)
     stats = jnp.concatenate(
         [jnp.ones((1, C), dtype), g.mean, g.icov], axis=0
     )  # (10, C) with the valid flag leading
@@ -206,4 +208,5 @@ def bake(config: GridConfig, g: GaussianVoxelMap, baked_config: GridConfig) -> B
             entries = entries.at[s, r, tgt].set(jnp.where(valid, stats[r], 0.0), mode="drop")
         for r in range(6):
             covs = covs.at[s, r, tgt].set(jnp.where(valid, g.cov[r], 0.0), mode="drop")
-    return BakedGaussianMap(fp=fp2, entries=entries, covs=covs)
+        counts = counts.at[s, tgt].set(jnp.where(valid, g.count, 0.0), mode="drop")
+    return BakedGaussianMap(fp=fp2, entries=entries, covs=covs, counts=counts)

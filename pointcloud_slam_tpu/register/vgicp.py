@@ -163,12 +163,21 @@ def source_covariances_rbf(points: jnp.ndarray, mask: jnp.ndarray, resolution: f
     return _plane_regularize(c00, c01, c02, c11, c12, c22, mask & (W >= 3.0))
 
 
-def build_target(cfg: VGICPConfig, target: jnp.ndarray, mask: Optional[jnp.ndarray] = None, capacity: int = 1 << 16):
+def build_target(cfg: VGICPConfig, target: jnp.ndarray, mask: Optional[jnp.ndarray] = None, capacity: int = 1 << 16,
+                 baked: bool = False, baked_capacity: Optional[int] = None):
+    """Target Gaussian voxel map. baked=True expands it with gg.bake so every
+    linearization pass (VGICP re-searches each iteration) does ONE probe +
+    ONE wide gather instead of `nearby` probe+gathers — identical results."""
     if mask is None:
         mask = jnp.ones(target.shape[1], bool)
     grid_cfg = ops.GridConfig(capacity=capacity, resolution=cfg.resolution, nearby=cfg.nearby)
     g = gg.build(grid_cfg, target, mask, mode="plane", min_points=cfg.min_points_per_voxel)
-    return grid_cfg, g
+    if not baked:
+        return grid_cfg, g
+    baked_cfg = ops.GridConfig(
+        capacity=baked_capacity or 4 * capacity, resolution=cfg.resolution, nearby=cfg.nearby
+    )
+    return baked_cfg, gg.bake(grid_cfg, g, baked_cfg)
 
 
 def _sym_inv3(a00, a01, a02, a11, a12, a22):
@@ -184,15 +193,9 @@ def _sym_inv3(a00, a01, a02, a11, a12, a22):
     return i00 * inv, i01 * inv, i02 * inv, i11 * inv, i12 * inv, i22 * inv
 
 
-def _linearize(cfg, grid_cfg, g, src, src_cov, mask, pose):
-    """One GN linearization: correspondences + mahalanobis + weighted H/b."""
-    pw = pose.apply(src)
-    offsets = ops.stencil_offsets(cfg.nearby)
-    coords = ops.point_to_voxel(pw, cfg.resolution)
-    R = pose.R
-    # T C_src T^T (6 components per point)
+def _src_cov_world(src_cov, R):
+    """T C_src T^T per point (6 components)."""
     s00, s01, s02, s11, s12, s22 = (src_cov[c] for c in range(6))
-    # RC = R @ C
     rc = [[R[i, 0] * [s00, s01, s02][j] + R[i, 1] * [s01, s11, s12][j] + R[i, 2] * [s02, s12, s22][j] for j in range(3)] for i in range(3)]
     t00 = rc[0][0] * R[0, 0] + rc[0][1] * R[0, 1] + rc[0][2] * R[0, 2]
     t01 = rc[0][0] * R[1, 0] + rc[0][1] * R[1, 1] + rc[0][2] * R[1, 2]
@@ -200,6 +203,53 @@ def _linearize(cfg, grid_cfg, g, src, src_cov, mask, pose):
     t11 = rc[1][0] * R[1, 0] + rc[1][1] * R[1, 1] + rc[1][2] * R[1, 2]
     t12 = rc[1][0] * R[2, 0] + rc[1][1] * R[2, 1] + rc[1][2] * R[2, 2]
     t22 = rc[2][0] * R[2, 0] + rc[2][1] * R[2, 1] + rc[2][2] * R[2, 2]
+    return t00, t01, t02, t11, t12, t22
+
+
+def _offset_terms(H, b, err, px, py, pz, ok, cnt, meanx, meany, meanz, cov6, t6):
+    """Accumulate one stencil offset's weighted mahalanobis H/b/err terms."""
+    t00, t01, t02, t11, t12, t22 = t6
+    w = jnp.where(ok, jnp.sqrt(jnp.maximum(cnt, 1.0)), 0.0)
+    qx = px - meanx
+    qy = py - meany
+    qz = pz - meanz
+    # M = (C_voxel + T C_src T^T)^-1
+    m00, m01, m02, m11, m12, m22 = _sym_inv3(
+        cov6[0] + t00, cov6[1] + t01, cov6[2] + t02,
+        cov6[3] + t11, cov6[4] + t12, cov6[5] + t22,
+    )
+    rx = m00 * qx + m01 * qy + m02 * qz  # M q
+    ry = m01 * qx + m11 * qy + m12 * qz
+    rz = m02 * qx + m12 * qy + m22 * qz
+    err = err + jnp.sum(w * (qx * rx + qy * ry + qz * rz))
+    # J columns (dq/d[omega, v]): -hat(pw) | I
+    cols = [
+        (qx * 0, -pz, py),
+        (pz, qx * 0, -px),
+        (-py, px, qx * 0),
+        (qx * 0 + 1.0, qx * 0, qx * 0),
+        (qx * 0, qx * 0 + 1.0, qx * 0),
+        (qx * 0, qx * 0, qx * 0 + 1.0),
+    ]
+    mj = []
+    for (ax, ay, az) in cols:
+        mj.append((m00 * ax + m01 * ay + m02 * az, m01 * ax + m11 * ay + m12 * az, m02 * ax + m12 * ay + m22 * az))
+    for i in range(6):
+        ai = cols[i]
+        b = b.at[i].add(jnp.sum(w * (ai[0] * rx + ai[1] * ry + ai[2] * rz)))
+        for j in range(i, 6):
+            hij = jnp.sum(w * (ai[0] * mj[j][0] + ai[1] * mj[j][1] + ai[2] * mj[j][2]))
+            H = H.at[i, j].add(hij)
+            H = H.at[j, i].add(jnp.where(i == j, 0.0, hij))
+    return H, b, err
+
+
+def _linearize(cfg, grid_cfg, g, src, src_cov, mask, pose):
+    """One GN linearization: correspondences + mahalanobis + weighted H/b."""
+    pw = pose.apply(src)
+    offsets = ops.stencil_offsets(cfg.nearby)
+    coords = ops.point_to_voxel(pw, cfg.resolution)
+    t6 = _src_cov_world(src_cov, pose.R)
 
     H = jnp.zeros((6, 6), src.dtype)
     b = jnp.zeros((6,), src.dtype)
@@ -209,38 +259,53 @@ def _linearize(cfg, grid_cfg, g, src, src_cov, mask, pose):
         slot = gg.probe(grid_cfg, g, (coords[0] + ox, coords[1] + oy, coords[2] + oz))
         safe = jnp.maximum(slot, 0)
         ok = (slot >= 0) & g.valid[safe] & mask
-        w = jnp.where(ok, jnp.sqrt(jnp.maximum(g.count[safe], 1.0)), 0.0)
-        qx = px - g.mean[0, safe]
-        qy = py - g.mean[1, safe]
-        qz = pz - g.mean[2, safe]
-        # M = (C_voxel + T C_src T^T)^-1
-        m00, m01, m02, m11, m12, m22 = _sym_inv3(
-            g.cov[0, safe] + t00, g.cov[1, safe] + t01, g.cov[2, safe] + t02,
-            g.cov[3, safe] + t11, g.cov[4, safe] + t12, g.cov[5, safe] + t22,
+        H, b, err = _offset_terms(
+            H, b, err, px, py, pz, ok, g.count[safe],
+            g.mean[0, safe], g.mean[1, safe], g.mean[2, safe],
+            [g.cov[c, safe] for c in range(6)], t6,
         )
-        rx = m00 * qx + m01 * qy + m02 * qz  # M q
-        ry = m01 * qx + m11 * qy + m12 * qz
-        rz = m02 * qx + m12 * qy + m22 * qz
-        err = err + jnp.sum(w * (qx * rx + qy * ry + qz * rz))
-        # J columns (dq/d[omega, v]): -hat(pw) | I
-        cols = [
-            (qx * 0, -pz, py),
-            (pz, qx * 0, -px),
-            (-py, px, qx * 0),
-            (qx * 0 + 1.0, qx * 0, qx * 0),
-            (qx * 0, qx * 0 + 1.0, qx * 0),
-            (qx * 0, qx * 0, qx * 0 + 1.0),
-        ]
-        mj = []
-        for (ax, ay, az) in cols:
-            mj.append((m00 * ax + m01 * ay + m02 * az, m01 * ax + m11 * ay + m12 * az, m02 * ax + m12 * ay + m22 * az))
-        for i in range(6):
-            ai = cols[i]
-            b = b.at[i].add(jnp.sum(w * (ai[0] * rx + ai[1] * ry + ai[2] * rz)))
-            for j in range(i, 6):
-                hij = jnp.sum(w * (ai[0] * mj[j][0] + ai[1] * mj[j][1] + ai[2] * mj[j][2]))
-                H = H.at[i, j].add(hij)
-                H = H.at[j, i].add(jnp.where(i == j, 0.0, hij))
+    return H, b, err
+
+
+def _linearize_baked(cfg, baked_cfg, bmap, src, src_cov, mask, pose):
+    """Baked-target linearization (gg.bake): ONE fingerprint probe + ONE
+    (S*11)-row column gather per query replaces `nearby` probe+gathers —
+    identical terms, and VGICP re-searches every iteration, so the win
+    applies to each of them."""
+    from ..ops.voxel_grid import _fingerprint, _hash3
+
+    C, P = baked_cfg.capacity, baked_cfg.probe
+    S = ops.stencil_offsets(cfg.nearby).shape[0]
+    N = src.shape[1]
+    pw = pose.apply(src)
+    coords = ops.point_to_voxel(pw, cfg.resolution)
+    t6 = _src_cov_world(src_cov, pose.R)
+
+    h0 = _hash3(coords[0], coords[1], coords[2], C)
+    fpq = _fingerprint(coords[0], coords[1], coords[2])
+    tblfp = jnp.stack([jnp.roll(bmap.fp, -j) for j in range(P)], axis=0)  # (P, C)
+    gfp = tblfp[:, h0]
+    match = gfp == fpq[None, :]
+    anym = jnp.any(match, axis=0)
+    jm = jnp.argmax(match, axis=0).astype(jnp.int32)
+    safe = (h0 + jm) & (C - 1)
+    packed = jnp.concatenate(
+        [bmap.entries[:, 0:1], bmap.counts[:, None, :], bmap.entries[:, 1:4], bmap.covs],
+        axis=1,
+    )                                                    # (S, 11, C)
+    ent = packed.reshape(S * 11, C)[:, safe].reshape(S, 11, N)  # ONE gather
+
+    H = jnp.zeros((6, 6), src.dtype)
+    b = jnp.zeros((6,), src.dtype)
+    err = jnp.zeros((), src.dtype)
+    px, py, pz = pw[0], pw[1], pw[2]
+    for s in range(S):
+        ok = (ent[s, 0] > 0.5) & anym & mask
+        H, b, err = _offset_terms(
+            H, b, err, px, py, pz, ok, ent[s, 1],
+            ent[s, 2], ent[s, 3], ent[s, 4],
+            [ent[s, 5 + c] for c in range(6)], t6,
+        )
     return H, b, err
 
 
@@ -262,9 +327,11 @@ def align(
     scfg = cfg.solver
     dtype = source.dtype
 
+    lin = _linearize_baked if isinstance(target, gg.BakedGaussianMap) else _linearize
+
     def body(carry, it):
         pose, done, iters, Hl = carry
-        H, b, err = _linearize(cfg, grid_cfg, target, source, source_cov, source_mask, pose)
+        H, b, err = lin(cfg, grid_cfg, target, source, source_cov, source_mask, pose)
         lam = 1e-6 * jnp.max(jnp.abs(jnp.diag(H)))
         d = solver._solve_step(H, b, lam, scfg.degeneracy_threshold)
         conv = solver._converged(d, scfg)

@@ -133,6 +133,20 @@ class TestVGICP:
         assert rot_err < 1.0, f"rot {rot_err}"
         assert trans_err < 0.1, f"trans {trans_err}"
 
+    def test_baked_target_matches_unbaked(self):
+        """VGICP over a gg.bake'd target must produce the same solve as the
+        plain map (identical correspondences/weights, one-gather layout)."""
+        world, src, R, t = make_pair(seed=11)
+        cfg = register.VGICPConfig(resolution=1.0)
+        cov = register.vgicp.source_covariances(soa(src), jnp.ones(len(src), bool), k=cfg.k_correspondences)
+        grid_cfg, target = register.vgicp.build_target(cfg, soa(world), capacity=1 << 13)
+        bcfg, btarget = register.vgicp.build_target(cfg, soa(world), capacity=1 << 13, baked=True)
+        res_u = register.vgicp.align(grid_cfg, target, soa(src), cov, cfg=cfg)
+        res_b = register.vgicp.align(bcfg, btarget, soa(src), cov, cfg=cfg)
+        np.testing.assert_allclose(np.asarray(res_b.pose.t), np.asarray(res_u.pose.t), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res_b.pose.R), np.asarray(res_u.pose.R), atol=1e-4)
+        np.testing.assert_allclose(float(res_b.error), float(res_u.error), rtol=1e-3)
+
     def test_weight_uses_voxel_count(self):
         # smoke: error decreases from init
         world, src, R, t = make_pair(seed=3)
