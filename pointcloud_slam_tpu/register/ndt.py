@@ -256,6 +256,39 @@ def align_d2d(
     scfg = cfg.solver
     dtype = src_means.dtype
     offsets = ops.stencil_offsets(cfg.nearby)
+    baked = isinstance(target, gg.BakedGaussianMap)
+
+    def _stencil_stats(coords, pw):
+        """Per offset: (ok, mean (3,N), cov (6,N)). Baked targets answer all
+        offsets from ONE probe + ONE (S*10)-row gather (gg.bake)."""
+        if not baked:
+            out = []
+            for (ox, oy, oz) in offsets.tolist():
+                slot = gg.probe(grid_cfg, target, (coords[0] + ox, coords[1] + oy, coords[2] + oz))
+                safe = jnp.maximum(slot, 0)
+                ok = (slot >= 0) & target.valid[safe]
+                out.append((ok,
+                            [target.mean[c, safe] for c in range(3)],
+                            [target.cov[c, safe] for c in range(6)]))
+            return out
+        from ..ops.voxel_grid import _fingerprint, _hash3
+
+        C, P = grid_cfg.capacity, grid_cfg.probe
+        S = offsets.shape[0]
+        N = pw.shape[1]
+        h0 = _hash3(coords[0], coords[1], coords[2], C)
+        fpq = _fingerprint(coords[0], coords[1], coords[2])
+        tblfp = jnp.stack([jnp.roll(target.fp, -j) for j in range(P)], axis=0)
+        gfp = tblfp[:, h0]
+        match = gfp == fpq[None, :]
+        anym = jnp.any(match, axis=0)
+        jm = jnp.argmax(match, axis=0).astype(jnp.int32)
+        safe = (h0 + jm) & (C - 1)
+        packed = jnp.concatenate([target.entries[:, 0:4], target.covs], axis=1)  # (S, 10, C)
+        ent = packed.reshape(S * 10, C)[:, safe].reshape(S, 10, N)
+        return [((ent[s, 0] > 0.5) & anym,
+                 [ent[s, 1 + c] for c in range(3)],
+                 [ent[s, 4 + c] for c in range(6)]) for s in range(S)]
 
     def linearize(pose):
         pw = pose.apply(src_means)
@@ -276,17 +309,15 @@ def align_d2d(
         zero = px * 0
         one = zero + 1.0
         cols = [(zero, -pz, py), (pz, zero, -px), (-py, px, zero), (one, zero, zero), (zero, one, zero), (zero, zero, one)]
-        for (ox, oy, oz) in offsets.tolist():
-            slot = gg.probe(grid_cfg, target, (coords[0] + ox, coords[1] + oy, coords[2] + oz))
-            safe = jnp.maximum(slot, 0)
-            ok = (slot >= 0) & target.valid[safe] & src_valid
+        for ok_s, mean_s, cov_s in _stencil_stats(coords, pw):
+            ok = ok_s & src_valid
             m00, m01, m02, m11, m12, m22 = _sym_inv3(
-                target.cov[0, safe] + t00, target.cov[1, safe] + t01, target.cov[2, safe] + t02,
-                target.cov[3, safe] + t11, target.cov[4, safe] + t12, target.cov[5, safe] + t22,
+                cov_s[0] + t00, cov_s[1] + t01, cov_s[2] + t02,
+                cov_s[3] + t11, cov_s[4] + t12, cov_s[5] + t22,
             )
-            qx = px - target.mean[0, safe]
-            qy = py - target.mean[1, safe]
-            qz = pz - target.mean[2, safe]
+            qx = px - mean_s[0]
+            qy = py - mean_s[1]
+            qz = pz - mean_s[2]
             rx = m00 * qx + m01 * qy + m02 * qz
             ry = m01 * qx + m11 * qy + m12 * qz
             rz = m02 * qx + m12 * qy + m22 * qz

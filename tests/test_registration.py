@@ -191,6 +191,17 @@ class TestNDTD2D:
         assert rot_err < 1.5, f"rot {rot_err}"
         assert trans_err < 0.15, f"trans {trans_err}"
 
+    def test_baked_matches_unbaked(self):
+        world, src, R, t = make_pair(seed=10)
+        cfg = register.NDTConfig(resolution=1.0)
+        grid_cfg, target = register.ndt.build_target(cfg, soa(world), capacity=1 << 13)
+        bcfg, btarget = register.ndt.build_target(cfg, soa(world), capacity=1 << 13, baked=True)
+        sm, sc, sv, _cnt = register.ndt.voxelize_source(cfg, soa(src))
+        res_u = register.ndt.align_d2d(grid_cfg, target, sm, sc, sv, cfg=cfg)
+        res_b = register.ndt.align_d2d(bcfg, btarget, sm, sc, sv, cfg=cfg)
+        np.testing.assert_allclose(np.asarray(res_b.pose.t), np.asarray(res_u.pose.t), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res_b.pose.R), np.asarray(res_u.pose.R), atol=1e-4)
+
 
 class TestRBFCovariances:
     def test_rbf_matches_knn_covariances_in_alignment(self):
