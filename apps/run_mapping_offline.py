@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--n_imu", type=int, default=64)
     p.add_argument("--chain", type=int, default=8, help="frames per jitted chain "
                    "(1 = per-frame dispatch; larger amortizes the device round trip)")
+    p.add_argument("--auto_grid", action="store_true",
+                   help="size the map grid from the first scan's measured point "
+                        "spacing (ops/tuning.py) instead of the config defaults")
     from pointcloud_slam_tpu.utils import runtime
     runtime.add_platform_arg(p)
     return p.parse_args()
@@ -230,6 +233,26 @@ def main():
     from pointcloud_slam_tpu.utils.timer import Timer
 
     cfg = build_config(args)
+    if args.auto_grid:
+        # measure the first scan's point spacing and size the map grid to it
+        # (ops/tuning.py): the robust fallback when no per-lidar YAML matches
+        # the sensor (sparse scans + fine voxels starve the plane fit)
+        import dataclasses as _dc
+        import itertools
+
+        from pointcloud_slam_tpu.ops import tuning
+
+        if args.bag_file:
+            probe_src = frames_from_bag(args)
+        elif args.data_dir:
+            probe_src = frames_from_dir(args)
+        else:
+            probe_src = frames_synthetic(args)
+        first = next(probe_src)
+        g = tuning.suggest_grid(np.asarray(first[0].pts), np.asarray(first[0].pt_mask),
+                                capacity=cfg.grid.capacity, pts_per_voxel=cfg.grid.pts_per_voxel)
+        print(f"auto_grid: resolution {g.resolution} m, stencil {g.nearby}")
+        cfg = _dc.replace(cfg, grid=g)
     state = lio.create_state(cfg)
     step = jax.jit(lambda s, f: lio.lio_step(cfg, s, f))
     # chained streaming: C frames advance inside ONE program (lax.scan) with a
