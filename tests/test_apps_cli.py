@@ -11,7 +11,8 @@ import pytest
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 APPS = sorted(
-    f for f in os.listdir(os.path.join(ROOT, "apps")) if f.endswith(".py")
+    f for f in os.listdir(os.path.join(ROOT, "apps"))
+    if f.endswith(".py") and not f.startswith("_")
 )
 
 
