@@ -91,7 +91,12 @@ def _load_map_cloud(args, pos, quat):
         return None
     from pointcloud_slam_tpu.io import pcd as pcdio
 
-    files = sorted(f for f in os.listdir(scans) if f.endswith(".pcd"))
+    # Scans/ holds %06d.pcd keyframe clouds plus %06d_corner.pcd feature
+    # channels (run_slam_offline --save_artifacts); render the base clouds
+    files = sorted(
+        f for f in os.listdir(scans)
+        if f.endswith(".pcd") and os.path.splitext(f)[0].isdigit()
+    )
     out = []
     for f in files:
         k = int(os.path.splitext(f)[0])

@@ -311,7 +311,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", type=int, default=0, help="run a single config (1-5)")
     ap.add_argument("--skip_secondary", action="store_true")
+    ap.add_argument("--platform", default="", help="force the JAX backend (dev only; "
+                    "the recorded numbers are TPU)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     if args.only:
         fns = {1: config1_icp, 2: config2_ndt, 3: config3_lio, 4: config4_occupancy, 5: config5_backend}

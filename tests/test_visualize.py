@@ -48,6 +48,9 @@ def run_dir(tmp_path_factory):
     for k in range(0, KF, 3):
         pts = rng.normal(0, 1.0, (200, 3)).astype(np.float32)
         pcdio.write_pcd(str(scans / f"{k:06d}.pcd"), pts)
+        # real --save_artifacts dirs also hold feature-channel files the
+        # renderer must skip
+        pcdio.write_pcd(str(scans / f"{k:06d}_corner.pcd"), pts[:20])
     return str(out)
 
 
