@@ -40,9 +40,10 @@ APP_DIR = os.path.dirname(os.path.abspath(__file__))
 REPO_DIR = os.path.dirname(APP_DIR)
 
 # package -> local config directory (register_conf.sh package_list_type)
+_CONF_ROOT = os.environ.get("POINTCLOUD_SLAM_CONFIGS", os.path.join(REPO_DIR, "configs"))
 CONF_PACKAGES = {
-    "jueying_lio": os.path.join(REPO_DIR, "configs", "lio"),
-    "jueying_slam": os.path.join(REPO_DIR, "configs", "slam"),
+    "jueying_lio": os.path.join(_CONF_ROOT, "lio"),
+    "jueying_slam": os.path.join(_CONF_ROOT, "slam"),
 }
 
 
@@ -78,7 +79,9 @@ def cmd_start(args):
         if os.path.islink(active) or os.path.isfile(active):
             os.unlink(active)
         elif os.path.isdir(active):
-            shutil.rmtree(active)
+            # a REAL directory here is save-map's published PGM/YAML store —
+            # back it up like the non-symlink `default`, never delete it
+            shutil.move(active, f"{active}-{_now_stamp()}")
         os.symlink(session, active)
     elif args.activate != "n":
         print("[Warn] --activate takes y/n", file=sys.stderr)
@@ -142,8 +145,20 @@ def cmd_save_map(args):
     os.makedirs(dst_dir, exist_ok=True)
     for ext in (".pgm", ".yaml"):
         s = src[:-4] + ext
-        if os.path.exists(s):
-            shutil.copyfile(s, os.path.join(dst_dir, args.name + ext))
+        if not os.path.exists(s):
+            continue
+        dst = os.path.join(dst_dir, args.name + ext)
+        if ext == ".yaml":
+            # the session YAML's image: field points at the session-internal
+            # PGM path; the published pair must reference its own file
+            lines = [
+                f"image: {args.name}.pgm" if ln.startswith("image:") else ln
+                for ln in open(s).read().splitlines()
+            ]
+            with open(dst, "w") as f:
+                f.write("\n".join(lines) + "\n")
+        else:
+            shutil.copyfile(s, dst)
     print(f"saved {os.path.join(dst_dir, args.name)}.pgm/.yaml")
 
 
@@ -178,6 +193,12 @@ def cmd_register_conf(args):
         if os.path.exists(dst):
             print(f"{pkg}: params.yaml already registered")
             continue
+        if not os.path.isdir(cfg_dir):
+            # pip installs ship the package without the repo's configs/ tree;
+            # point POINTCLOUD_SLAM_CONFIGS at a checkout (or run from one)
+            print(f"{pkg}: no shipped configs at {cfg_dir} "
+                  "(set POINTCLOUD_SLAM_CONFIGS to a repo checkout)", file=sys.stderr)
+            continue
         src = os.path.join(cfg_dir, f"{lidar_type}.yaml")
         if not os.path.exists(src):
             # fall back to the first shipped config for the package, like the
@@ -211,6 +232,14 @@ def cmd_stop(args):
 
 def cmd_interactive(args):
     """mapping_GUI.py role: a terminal menu over the same commands."""
+    # the interactive subparser only defines --session; seed every attribute
+    # the dispatched handlers read with the subcommand defaults
+    defaults = dict(map_name="ProjectName-LocationName", activate="y", mode="fast",
+                    data_dir="", synthetic=64, run=False, name="jueying",
+                    session=getattr(args, "session", ""), label=0, lidar_type="")
+    for k, v in defaults.items():
+        if not hasattr(args, k):
+            setattr(args, k, v)
     while True:
         print("\n[1] start mapping  [2] save map  [3] set floor label  "
               "[4] register conf  [5] stop  [q] quit")
@@ -224,6 +253,7 @@ def cmd_interactive(args):
                 args.mode = input("mode (fast/indoor/outdoor) [fast]: ").strip() or "fast"
                 cmd_start(args)
             elif choice == "2":
+                args.name = input("map name [jueying]: ").strip() or "jueying"
                 cmd_save_map(args)
             elif choice == "3":
                 args.label = int(input("floor label: ").strip())
@@ -232,7 +262,7 @@ def cmd_interactive(args):
                 cmd_register_conf(args)
             elif choice == "5":
                 cmd_stop(args)
-        except SystemExit as e:
+        except (SystemExit, ValueError) as e:
             print(e)
 
 

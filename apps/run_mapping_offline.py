@@ -164,6 +164,10 @@ def frames_from_bag(args):
     if not scans:
         raise SystemExit(f"{args.bag_file}: no lidar scans found"
                          + (f" on topic {args.lidar_topic}" if args.lidar_topic else ""))
+    if not imu_rows:
+        raise SystemExit(f"{args.bag_file}: no IMU messages found"
+                         + (f" on topic {args.imu_topic}" if args.imu_topic else "")
+                         + " — the LIO loop needs sensor_msgs/Imu covering every scan")
     imu = np.asarray(imu_rows, np.float64).reshape(-1, 7)
     scans.sort(key=lambda s: s[0])
     for k, (t0, pts, third, ring, tsrc) in enumerate(scans):
@@ -172,11 +176,16 @@ def frames_from_bag(args):
         if tsrc is None:          # python path: third = cloud dict
             pts = np.ascontiguousarray(pts, np.float32)
             t_offs = converters.point_times_from_cloud(third, scan_duration=float(t1 - t0))
-        elif tsrc == 0 and ring is not None and np.any(ring):
-            # native ramp fallback, but rings exist: ring/yaw synthesis
-            t_offs = converters.point_times_from_cloud(
-                {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2], "ring": ring},
-                scan_duration=float(t1 - t0))
+        elif tsrc == 0:
+            # the native reader found no per-point time channel (its ramp
+            # fallback hard-codes 0.1 s): redo the Python priority chain with
+            # the ACTUAL inter-scan gap — ring/yaw synthesis when rings
+            # exist, else a correctly-scaled linear ramp (keeps native and
+            # python reader trajectories identical on timestamp-less bags)
+            cloud = {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]}
+            if ring is not None and np.any(ring):
+                cloud["ring"] = ring
+            t_offs = converters.point_times_from_cloud(cloud, scan_duration=float(t1 - t0))
         else:
             t_offs = third
         yield feed.make_frame(
@@ -205,7 +214,7 @@ def frames_from_dir(args):
         # state from t_i to t_{i+1} (the ImuProcess convention). The frame
         # wants the measurements whose INTERVAL lies in [t0, t1), stamped at
         # their interval END (make_frame's imu_t are post-step offsets —
-        # see tests/test_lio.simulate_sequence, the convention oracle).
+        # see io.synthetic.simulate_lio_sequence, the convention oracle).
         chunk, t_end = _imu_window(imu, t0, t1)
         t_offs = converters.point_times_from_cloud(cloud, scan_duration=float(t1 - t0))
         yield feed.make_frame(
@@ -215,8 +224,7 @@ def frames_from_dir(args):
 
 
 def frames_synthetic(args):
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
-    from test_lio import simulate_sequence
+    from pointcloud_slam_tpu.io.synthetic import simulate_lio_sequence as simulate_sequence
 
     _, traj, frames = simulate_sequence(n_frames=args.synthetic, n_pts=min(args.n_points, 4000))
     for k, (fr, pos, R) in enumerate(frames):
@@ -233,22 +241,24 @@ def main():
     from pointcloud_slam_tpu.utils.timer import Timer
 
     cfg = build_config(args)
+    if args.bag_file:
+        src = frames_from_bag(args)
+    elif args.data_dir:
+        src = frames_from_dir(args)
+    else:
+        src = frames_synthetic(args)
     if args.auto_grid:
         # measure the first scan's point spacing and size the map grid to it
         # (ops/tuning.py): the robust fallback when no per-lidar YAML matches
-        # the sensor (sparse scans + fine voxels starve the plane fit)
+        # the sensor (sparse scans + fine voxels starve the plane fit). The
+        # probed frame is chained back so the dataset is parsed once.
         import dataclasses as _dc
         import itertools
 
         from pointcloud_slam_tpu.ops import tuning
 
-        if args.bag_file:
-            probe_src = frames_from_bag(args)
-        elif args.data_dir:
-            probe_src = frames_from_dir(args)
-        else:
-            probe_src = frames_synthetic(args)
-        first = next(probe_src)
+        first = next(src)
+        src = itertools.chain([first], src)
         g = tuning.suggest_grid(np.asarray(first[0].pts), np.asarray(first[0].pt_mask),
                                 capacity=cfg.grid.capacity, pts_per_voxel=cfg.grid.pts_per_voxel)
         print(f"auto_grid: resolution {g.resolution} m, stencil {g.nearby}")
@@ -262,13 +272,6 @@ def main():
     step_chain = jax.jit(
         lambda s, fs: jax.lax.scan(lambda st, fr: lio.lio_step(cfg, st, fr), s, fs)
     )
-
-    if args.bag_file:
-        src = frames_from_bag(args)
-    elif args.data_dir:
-        src = frames_from_dir(args)
-    else:
-        src = frames_synthetic(args)
     times, poss, quats = [], [], []
     n = 0
     t_start = time.perf_counter()

@@ -79,8 +79,7 @@ def cloud_source(args):
 
 def synthetic_frames(n):
     """Reuse the SLAM test world: a feature-rich yard + a loop trajectory."""
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
-    from test_slam import make_feature_world, take_scan
+    from pointcloud_slam_tpu.io.synthetic import make_feature_world
 
     corners_w, surfs_w = make_feature_world(seed=1)
     for k in range(n):
@@ -157,8 +156,7 @@ def main():
     n_loops = 0
     t_start = time.perf_counter()
     if args.synthetic:
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
-        from test_slam import take_scan
+        from pointcloud_slam_tpu.io.synthetic import take_scan
 
         for stamp, corners_w, surfs_w, R, t in synthetic_frames(args.synthetic):
             c, cm = take_scan(corners_w, R, t, cfg.n_corner, seed=int(stamp * 10))

@@ -234,7 +234,8 @@ bool parse_pc2_msg(Bag* bag, const uint8_t* p, size_t n) {
     fields[i].count = rd_u32(p + o + 5);
     o += 9;
   }
-  if (o + 9 > n) return false;
+  // is_bigendian(1) + point_step(4) + row_step(4) + data_len(4)
+  if (o + 13 > n) return false;
   uint8_t bigendian = p[o];
   o += 1;
   uint32_t point_step = rd_u32(p + o);

@@ -136,3 +136,72 @@ def make_imu_trajectory(
         "imu_per_frame": imu_per_frame,
         "frame_dt": frame_dt,
     }
+
+
+def simulate_lio_sequence(n_frames=40, n_pts=3000, imu_per_frame=20, frame_dt=0.1, seed=0):
+    """Synthetic world + trajectory + exact IMU -> (world, traj, [(frame, gt_pos, gt_R)]).
+
+    The LIO convention oracle (frame f applies IMU samples i0..i1-1 stamped
+    at their interval ENDS; scan at the frame-end pose). Shared by the test
+    suite and the apps' --synthetic replay modes."""
+    from . import feed
+
+    world = make_room_cloud(40000, seed=seed)
+    traj = make_imu_trajectory(n_frames, imu_per_frame, frame_dt, seed=seed)
+    frames = []
+    rng = np.random.default_rng(seed)
+    for f in range(n_frames):
+        i0 = f * imu_per_frame
+        i1 = (f + 1) * imu_per_frame
+        pos, R = traj["pos"][i1], traj["R"][i1]
+        rel = (world - pos) @ R  # world -> body
+        r = np.linalg.norm(rel, axis=1)
+        vis = rel[(r < 25.0) & (r > 0.3)]
+        idx = rng.choice(len(vis), size=min(n_pts, len(vis)), replace=False)
+        pts = vis[idx].astype(np.float32)
+        t_offs = np.full(len(pts), frame_dt, np.float32)
+        imu_t = (traj["t"][i0 + 1 : i1 + 1] - traj["t"][i0]).astype(np.float32)
+        fr = feed.make_frame(
+            pts, t_offs, traj["acc"][i0:i1], traj["gyro"][i0:i1], imu_t,
+            n_points=n_pts, n_imu=imu_per_frame, prev_imu_t=0.0,
+        )
+        frames.append((fr, pos, R))
+    return world, traj, frames
+
+
+def make_feature_world(seed=0, half=8.0):
+    """Poles (corners) + walls/floor (surfs) in a dense (2*half)^2 m area —
+    the LOAM-feature world used by the SLAM tests and --synthetic replay."""
+    rng = np.random.default_rng(seed)
+    poles = []
+    for _ in range(30):
+        px, py = rng.uniform(-half, half, 2)
+        z = rng.uniform(0, 3, (50, 1))
+        poles.append(np.concatenate([np.full((50, 1), px), np.full((50, 1), py), z], 1))
+    corners = np.concatenate(poles).astype(np.float32)
+    floor = np.concatenate([rng.uniform(-half, half, (16000, 2)), np.zeros((16000, 1))], 1)
+    walls = []
+    for (a, c) in [(0, half), (0, -half), (1, half), (1, -half)]:
+        w = np.zeros((4000, 3))
+        w[:, a] = c
+        w[:, 1 - a] = rng.uniform(-half, half, 4000)
+        w[:, 2] = rng.uniform(0, 3, 4000)
+        walls.append(w)
+    surfs = np.concatenate([floor] + walls).astype(np.float32)
+    return corners, surfs
+
+
+def take_scan(world, pose_R, pose_t, n_out, max_range=30.0, seed=0):
+    """Range-gated sensor-frame sample of a world cloud, padded to n_out."""
+    rng = np.random.default_rng(seed)
+    rel = (world - pose_t) @ pose_R  # world -> sensor
+    r = np.linalg.norm(rel, axis=1)
+    vis = rel[(r < max_range) & (r > 0.5)]
+    if len(vis) == 0:
+        vis = rel[:1]
+    idx = rng.choice(len(vis), min(n_out, len(vis)), replace=len(vis) < n_out)
+    out = np.zeros((n_out, 3), np.float32)
+    m = np.zeros(n_out, bool)
+    out[: len(idx)] = vis[idx]
+    m[: len(idx)] = True
+    return out, m

@@ -170,6 +170,7 @@ class BakedGaussianMap(NamedTuple):
     entries: jnp.ndarray  # (S, 10, C): [valid, mean(3), icov(6)] per stencil entry
     covs: jnp.ndarray     # (S, 6, C): regularized covariance (VGICP/D2D consumers)
     counts: jnp.ndarray   # (S, C): per-entry point count (VGICP sqrt-count weight)
+    dropped: jnp.ndarray  # () int32: (voxel, offset) entries lost to capacity overflow
 
 
 @functools.partial(jax.jit, static_argnames=("config", "baked_config"))
@@ -199,14 +200,42 @@ def bake(config: GridConfig, g: GaussianVoxelMap, baked_config: GridConfig) -> B
         [jnp.ones((1, C), dtype), g.mean, g.icov], axis=0
     )  # (10, C) with the valid flag leading
     valid = g.valid
+    dropped = jnp.zeros((), jnp.int32)
     for s, (ox, oy, oz) in enumerate(offs.tolist()):
         # occupied voxel u fills entry s of query voxel v = u - offs[s]
         cx, cy, cz = g.keys[0] - ox, g.keys[1] - oy, g.keys[2] - oz
         fp2, _, _, slot = _claim_loop(baked_config, fp2, stamp0, counter, cx, cy, cz, valid)
         tgt = jnp.where(valid & (slot < C2), slot, C2)
+        dropped = dropped + jnp.sum((valid & (slot >= C2)).astype(jnp.int32))
         for r in range(10):
             entries = entries.at[s, r, tgt].set(jnp.where(valid, stats[r], 0.0), mode="drop")
         for r in range(6):
             covs = covs.at[s, r, tgt].set(jnp.where(valid, g.cov[r], 0.0), mode="drop")
         counts = counts.at[s, tgt].set(jnp.where(valid, g.count, 0.0), mode="drop")
-    return BakedGaussianMap(fp=fp2, entries=entries, covs=covs, counts=counts)
+    return BakedGaussianMap(fp=fp2, entries=entries, covs=covs, counts=counts, dropped=dropped)
+
+
+def baked_probe(baked_config: GridConfig, bmap: BakedGaussianMap, coords: jnp.ndarray,
+                rows: jnp.ndarray) -> tuple:
+    """One fingerprint probe + ONE wide column gather over a baked map.
+
+    coords (3, N) integer query-voxel coords; `rows` (S, R, C) — the
+    per-entry rows the caller wants gathered (e.g. bmap.entries, or a
+    concat of entries/counts/covs). Returns (ent (S, R, N), found (N,)).
+    The single shared implementation of the baked lookup used by NDT P2D,
+    NDT D2D and VGICP."""
+    from .voxel_grid import _fingerprint, _hash3
+
+    C, P = baked_config.capacity, baked_config.probe
+    S, R = rows.shape[0], rows.shape[1]
+    N = coords.shape[1]
+    h0 = _hash3(coords[0], coords[1], coords[2], C)
+    fpq = _fingerprint(coords[0], coords[1], coords[2])
+    tblfp = jnp.stack([jnp.roll(bmap.fp, -j) for j in range(P)], axis=0)  # (P, C)
+    gfp = tblfp[:, h0]
+    match = gfp == fpq[None, :]
+    found = jnp.any(match, axis=0)
+    jm = jnp.argmax(match, axis=0).astype(jnp.int32)
+    safe = (h0 + jm) & (C - 1)
+    ent = rows.reshape(S * R, C)[:, safe].reshape(S, R, N)  # ONE column gather
+    return ent, found

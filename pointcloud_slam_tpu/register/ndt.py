@@ -82,7 +82,27 @@ def build_target(cfg: NDTConfig, target: jnp.ndarray, mask: Optional[jnp.ndarray
     baked_cfg = ops.GridConfig(
         capacity=baked_capacity or 4 * capacity, resolution=cfg.resolution, nearby=cfg.nearby
     )
-    return baked_cfg, gg.bake(grid_cfg, g, baked_cfg)
+    baked_map = gg.bake(grid_cfg, g, baked_cfg)
+    _check_bake_coverage(baked_map, baked_cfg)
+    return baked_cfg, baked_map
+
+
+def _check_bake_coverage(baked_map, baked_cfg):
+    """The 'results identical to unbaked' guarantee requires every (voxel,
+    offset) entry to land; capacity overflow drops entries silently inside
+    the jitted bake, so surface it here (build_target runs eagerly)."""
+    import numpy as np
+
+    dropped = int(np.asarray(baked_map.dropped))
+    if dropped > 0:
+        import warnings
+
+        warnings.warn(
+            f"gg.bake dropped {dropped} stencil entries (baked capacity "
+            f"{baked_cfg.capacity} too small for this map x nearby={baked_cfg.nearby}); "
+            "baked correspondences will MISS neighbors — raise baked_capacity",
+            stacklevel=3,
+        )
 
 
 def _correspond(cfg: NDTConfig, grid_cfg, g: gg.GaussianVoxelMap, pw, mask):
@@ -132,23 +152,10 @@ def _correspond(cfg: NDTConfig, grid_cfg, g: gg.GaussianVoxelMap, pw, mask):
 
 def _correspond_baked(cfg: NDTConfig, baked_cfg, b: "gg.BakedGaussianMap", pw, mask):
     """Stencil-baked correspondence: same outputs as _correspond from ONE
-    fingerprint probe + ONE (S*10, C) column gather per query (gg.bake)."""
-    from ..ops.voxel_grid import _fingerprint, _hash3
-
-    C, P = baked_cfg.capacity, baked_cfg.probe
-    S = ops.stencil_offsets(cfg.nearby).shape[0]
-    N = pw.shape[1]
+    fingerprint probe + ONE (S*10, C) column gather per query (gg.baked_probe)."""
     coords = ops.point_to_voxel(pw, cfg.resolution)
-    h0 = _hash3(coords[0], coords[1], coords[2], C)
-    fpq = _fingerprint(coords[0], coords[1], coords[2])
-    tblfp = jnp.stack([jnp.roll(b.fp, -j) for j in range(P)], axis=0)  # (P, C)
-    gfp = tblfp[:, h0]                                                # (P, N)
-    match = gfp == fpq[None, :]
-    anym = jnp.any(match, axis=0)
-    jm = jnp.argmax(match, axis=0).astype(jnp.int32)
-    safe = (h0 + jm) & (C - 1)
-    ent = b.entries.reshape(S * 10, C)[:, safe].reshape(S, 10, N)     # ONE gather
-    valid = (ent[:, 0] > 0.5) & anym[None, :] & mask[None, :]
+    ent, found = gg.baked_probe(baked_cfg, b, coords, b.entries)
+    valid = (ent[:, 0] > 0.5) & found[None, :] & mask[None, :]
     means = jnp.moveaxis(ent[:, 1:4], 1, 0)   # (3, S, N)
     icovs = jnp.moveaxis(ent[:, 4:10], 1, 0)  # (6, S, N)
     return means, icovs, valid
@@ -271,22 +278,10 @@ def align_d2d(
                             [target.mean[c, safe] for c in range(3)],
                             [target.cov[c, safe] for c in range(6)]))
             return out
-        from ..ops.voxel_grid import _fingerprint, _hash3
-
-        C, P = grid_cfg.capacity, grid_cfg.probe
-        S = offsets.shape[0]
-        N = pw.shape[1]
-        h0 = _hash3(coords[0], coords[1], coords[2], C)
-        fpq = _fingerprint(coords[0], coords[1], coords[2])
-        tblfp = jnp.stack([jnp.roll(target.fp, -j) for j in range(P)], axis=0)
-        gfp = tblfp[:, h0]
-        match = gfp == fpq[None, :]
-        anym = jnp.any(match, axis=0)
-        jm = jnp.argmax(match, axis=0).astype(jnp.int32)
-        safe = (h0 + jm) & (C - 1)
         packed = jnp.concatenate([target.entries[:, 0:4], target.covs], axis=1)  # (S, 10, C)
-        ent = packed.reshape(S * 10, C)[:, safe].reshape(S, 10, N)
-        return [((ent[s, 0] > 0.5) & anym,
+        ent, found = gg.baked_probe(grid_cfg, target, coords, packed)
+        S = offsets.shape[0]
+        return [((ent[s, 0] > 0.5) & found,
                  [ent[s, 1 + c] for c in range(3)],
                  [ent[s, 4 + c] for c in range(6)]) for s in range(S)]
 

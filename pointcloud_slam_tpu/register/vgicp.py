@@ -177,7 +177,11 @@ def build_target(cfg: VGICPConfig, target: jnp.ndarray, mask: Optional[jnp.ndarr
     baked_cfg = ops.GridConfig(
         capacity=baked_capacity or 4 * capacity, resolution=cfg.resolution, nearby=cfg.nearby
     )
-    return baked_cfg, gg.bake(grid_cfg, g, baked_cfg)
+    from .ndt import _check_bake_coverage
+
+    baked_map = gg.bake(grid_cfg, g, baked_cfg)
+    _check_bake_coverage(baked_map, baked_cfg)
+    return baked_cfg, baked_map
 
 
 def _sym_inv3(a00, a01, a02, a11, a12, a22):
@@ -268,39 +272,27 @@ def _linearize(cfg, grid_cfg, g, src, src_cov, mask, pose):
 
 
 def _linearize_baked(cfg, baked_cfg, bmap, src, src_cov, mask, pose):
-    """Baked-target linearization (gg.bake): ONE fingerprint probe + ONE
-    (S*11)-row column gather per query replaces `nearby` probe+gathers —
+    """Baked-target linearization (gg.baked_probe): ONE fingerprint probe +
+    ONE (S*11)-row column gather per query replaces `nearby` probe+gathers —
     identical terms, and VGICP re-searches every iteration, so the win
     applies to each of them."""
-    from ..ops.voxel_grid import _fingerprint, _hash3
-
-    C, P = baked_cfg.capacity, baked_cfg.probe
     S = ops.stencil_offsets(cfg.nearby).shape[0]
-    N = src.shape[1]
     pw = pose.apply(src)
     coords = ops.point_to_voxel(pw, cfg.resolution)
     t6 = _src_cov_world(src_cov, pose.R)
 
-    h0 = _hash3(coords[0], coords[1], coords[2], C)
-    fpq = _fingerprint(coords[0], coords[1], coords[2])
-    tblfp = jnp.stack([jnp.roll(bmap.fp, -j) for j in range(P)], axis=0)  # (P, C)
-    gfp = tblfp[:, h0]
-    match = gfp == fpq[None, :]
-    anym = jnp.any(match, axis=0)
-    jm = jnp.argmax(match, axis=0).astype(jnp.int32)
-    safe = (h0 + jm) & (C - 1)
     packed = jnp.concatenate(
         [bmap.entries[:, 0:1], bmap.counts[:, None, :], bmap.entries[:, 1:4], bmap.covs],
         axis=1,
     )                                                    # (S, 11, C)
-    ent = packed.reshape(S * 11, C)[:, safe].reshape(S, 11, N)  # ONE gather
+    ent, found = gg.baked_probe(baked_cfg, bmap, coords, packed)
 
     H = jnp.zeros((6, 6), src.dtype)
     b = jnp.zeros((6,), src.dtype)
     err = jnp.zeros((), src.dtype)
     px, py, pz = pw[0], pw[1], pw[2]
     for s in range(S):
-        ok = (ent[s, 0] > 0.5) & anym & mask
+        ok = (ent[s, 0] > 0.5) & found & mask
         H, b, err = _offset_terms(
             H, b, err, px, py, pz, ok, ent[s, 1],
             ent[s, 2], ent[s, 3], ent[s, 4],

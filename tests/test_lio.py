@@ -153,31 +153,9 @@ class TestUndistort:
 
 
 def simulate_sequence(n_frames=40, n_pts=3000, imu_per_frame=20, frame_dt=0.1, seed=0):
-    """Synthetic world + trajectory + exact IMU -> list of (frame, gt_pos, gt_R)."""
-    world = synthetic.make_room_cloud(40000, seed=seed)
-    traj = synthetic.make_imu_trajectory(n_frames, imu_per_frame, frame_dt, seed=seed)
-    frames = []
-    rng = np.random.default_rng(seed)
-    for f in range(n_frames):
-        i0 = f * imu_per_frame
-        i1 = (f + 1) * imu_per_frame
-        # scan taken at the frame END pose (no motion distortion: t_offs = end)
-        pos, R = traj["pos"][i1], traj["R"][i1]
-        rel = (world - pos) @ R  # world -> body
-        r = np.linalg.norm(rel, axis=1)
-        vis = rel[(r < 25.0) & (r > 0.3)]
-        idx = rng.choice(len(vis), size=min(n_pts, len(vis)), replace=False)
-        pts = vis[idx].astype(np.float32)
-        t_offs = np.full(len(pts), frame_dt, np.float32)
-        # measurement i drives state i -> i+1: frame f applies samples
-        # i0..i1-1 whose post-step states sit at offsets t[i0+1..i1]
-        imu_t = (traj["t"][i0 + 1 : i1 + 1] - traj["t"][i0]).astype(np.float32)
-        fr = feed.make_frame(
-            pts, t_offs, traj["acc"][i0:i1], traj["gyro"][i0:i1], imu_t,
-            n_points=n_pts, n_imu=imu_per_frame, prev_imu_t=0.0,
-        )
-        frames.append((fr, pos, R))
-    return world, traj, frames
+    """Synthetic world + trajectory + exact IMU (now shared with the apps'
+    --synthetic replay: io.synthetic.simulate_lio_sequence)."""
+    return synthetic.simulate_lio_sequence(n_frames, n_pts, imu_per_frame, frame_dt, seed)
 
 
 class TestLIOPipeline:

@@ -110,3 +110,45 @@ class TestSessionCommands:
         ms.cmd_start(_start_args(tmp_path, activate="n"))
         with pytest.raises(SystemExit):
             ms.cmd_save_map(argparse.Namespace(root=str(tmp_path), session="", name="jueying"))
+
+
+class TestReviewRegressions:
+    """Fixes from the round-3 session-4 code review."""
+
+    def test_save_map_rewrites_yaml_image_field(self, tmp_path):
+        session = ms.cmd_start(_start_args(tmp_path, activate="n"))
+        with open(os.path.join(session, "details", "occ.pgm"), "wb") as f:
+            f.write(b"P5\n2 2\n255\n\x00\x00\x00\x00")
+        with open(os.path.join(session, "details", "occ.yaml"), "w") as f:
+            f.write(f"image: {session}/details/occ.pgm\nresolution: 0.1\n")
+        ms.cmd_save_map(argparse.Namespace(root=str(tmp_path), session="", name="pub"))
+        y = (tmp_path / "system" / "map" / "pub.yaml").read_text()
+        assert "image: pub.pgm" in y, y          # not the stale session path
+        assert str(session) not in y
+
+    def test_start_backs_up_published_map_dir(self, tmp_path):
+        # save-map makes <root>/system/map a REAL directory; a later
+        # `start --activate y` must back it up, never rmtree it
+        session = ms.cmd_start(_start_args(tmp_path, activate="n"))
+        with open(os.path.join(session, "details", "occ.pgm"), "wb") as f:
+            f.write(b"P5\n2 2\n255\n\x00\x00\x00\x00")
+        with open(os.path.join(session, "details", "occ.yaml"), "w") as f:
+            f.write("resolution: 0.1\n")
+        ms.cmd_save_map(argparse.Namespace(root=str(tmp_path), session="", name="keepme"))
+        assert (tmp_path / "system" / "map" / "keepme.pgm").exists()
+        ms.cmd_start(_start_args(tmp_path, map_name="Second"))
+        # the published pair survives in a backup directory
+        backups = [d for d in (tmp_path / "system").iterdir() if d.name.startswith("map-")]
+        assert backups, "published map dir was destroyed instead of backed up"
+        assert any((b / "keepme.pgm").exists() for b in backups)
+
+    def test_interactive_menu_dispatches(self, tmp_path, monkeypatch, capsys):
+        # option 1 (start) + option 3 (floor label) + q — the interactive
+        # namespace must carry every attribute the handlers read
+        answers = iter(["1", "IMap", "n", "fast", "3", "7", "q"])
+        monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+        ms.cmd_interactive(argparse.Namespace(root=str(tmp_path), session=""))
+        out = capsys.readouterr().out
+        assert "session:" in out
+        maps = list((tmp_path / "system" / "maps").iterdir())
+        assert any(d.name.startswith("IMap-") for d in maps)

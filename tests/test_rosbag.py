@@ -273,3 +273,34 @@ class TestNativeBagReader:
             p = tmp_path / "junk.bag"
             p.write_bytes(b"not a bag at all")
             native.NativeBagReader(str(p))
+
+
+def test_ramp_fallback_uses_actual_scan_gap(tmp_path):
+    """A timestamp-less, ring-less PC2 bag at 20 Hz: both readers must ramp
+    per-point times over the ACTUAL inter-scan gap (0.05 s), not a
+    hard-coded 0.1 s (review regression: the native reader's C++ fallback)."""
+    app = _load(os.path.join(REPO, "apps", "run_mapping_offline.py"), "rmo2")
+    rng = np.random.default_rng(5)
+    p = str(tmp_path / "r.bag")
+    t0 = 100.0
+    with rosbag.BagWriter(p) as bw:
+        for k in range(40):
+            bw.write_imu("/imu/data", t0 + 0.005 * k, rng.normal(0, 1, 3), rng.normal(0, 0.1, 3))
+        for k in range(3):
+            pts = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
+            bw.write_pointcloud2("/points", t0 + 0.05 * k,
+                                 {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]})
+
+    class A: pass
+    frames = {}
+    for reader in ("native", "python"):
+        a = A()
+        a.bag_file = p; a.lidar_topic = ""; a.imu_topic = ""
+        a.n_points = 256; a.n_imu = 32; a.bag_reader = reader
+        frames[reader] = list(app.frames_from_bag(a))
+    for (fn, tn), (fp_, tp_) in zip(frames["native"], frames["python"]):
+        np.testing.assert_allclose(np.asarray(fn.t_offs), np.asarray(fp_.t_offs), atol=1e-6)
+    # and the ramp spans the 0.05 s gap, not 0.1 s
+    t_offs = np.asarray(frames["native"][0][0].t_offs)
+    m = np.asarray(frames["native"][0][0].pt_mask)
+    assert 0.04 < t_offs[m].max() <= 0.05 + 1e-6, t_offs[m].max()

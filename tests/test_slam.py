@@ -25,40 +25,8 @@ def soa(x):
     return jnp.asarray(np.ascontiguousarray(np.asarray(x).T))
 
 
-def make_feature_world(seed=0, half=8.0):
-    """Poles (corners) + walls/floor (surfs) in a dense (2*half)^2 m area."""
-    rng = np.random.default_rng(seed)
-    poles = []
-    for _ in range(30):
-        px, py = rng.uniform(-half, half, 2)
-        z = rng.uniform(0, 3, (50, 1))
-        poles.append(np.concatenate([np.full((50, 1), px), np.full((50, 1), py), z], 1))
-    corners = np.concatenate(poles).astype(np.float32)
-    floor = np.concatenate([rng.uniform(-half, half, (16000, 2)), np.zeros((16000, 1))], 1)
-    walls = []
-    for (a, c) in [(0, half), (0, -half), (1, half), (1, -half)]:
-        w = np.zeros((4000, 3))
-        w[:, a] = c
-        w[:, 1 - a] = rng.uniform(-half, half, 4000)
-        w[:, 2] = rng.uniform(0, 3, 4000)
-        walls.append(w)
-    surfs = np.concatenate([floor] + walls).astype(np.float32)
-    return corners, surfs
-
-
-def take_scan(world, pose_R, pose_t, n_out, max_range=30.0, seed=0):
-    rng = np.random.default_rng(seed)
-    rel = (world - pose_t) @ pose_R  # world -> sensor
-    r = np.linalg.norm(rel, axis=1)
-    vis = rel[(r < max_range) & (r > 0.5)]
-    if len(vis) == 0:
-        vis = rel[:1]
-    idx = rng.choice(len(vis), min(n_out, len(vis)), replace=len(vis) < n_out)
-    out = np.zeros((n_out, 3), np.float32)
-    m = np.zeros(n_out, bool)
-    out[: len(idx)] = vis[idx]
-    m[: len(idx)] = True
-    return out, m
+make_feature_world = synthetic.make_feature_world
+take_scan = synthetic.take_scan
 
 
 class TestSLAM:
