@@ -270,3 +270,17 @@ class TestExactCovariances:
         r = register.vgicp.align(grid_cfg, target, src_j, cov, mask, cfg=cfg)
         e = float(np.linalg.norm(np.asarray(r.pose.t) - t))
         assert e < 0.15, e
+
+
+class TestBakeOverflow:
+    def test_undersized_baked_capacity_warns(self):
+        import warnings
+
+        world = synthetic.make_room_cloud(8000, seed=2)
+        cfg = register.NDTConfig(resolution=0.5)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            register.ndt.build_target(cfg, soa(world), capacity=1 << 12,
+                                      baked=True, baked_capacity=1 << 6)
+        assert any("dropped" in str(x.message) for x in w), \
+            "capacity overflow must be surfaced, not silent"
