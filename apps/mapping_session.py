@@ -162,6 +162,26 @@ def cmd_save_map(args):
     print(f"saved {os.path.join(dst_dir, args.name)}.pgm/.yaml")
 
 
+def cmd_pub_occ_map(args):
+    """pub_occ_map.sh: re-publish the session's occupancy product (the
+    reference's `rosservice call .../publish_occupancy_map`): validate the
+    newest PGM/YAML pair parses, then publish it to <root>/system/map."""
+    from pointcloud_slam_tpu.maps import occupancy as occ
+
+    session = _resolve_session(args)
+    pgms = []
+    for dirpath, _, files in os.walk(session):
+        pgms += [os.path.join(dirpath, f) for f in files if f.endswith(".pgm")]
+    if not pgms:
+        raise SystemExit(f"no .pgm occupancy product found under {session}")
+    newest = max(pgms, key=os.path.getmtime)
+    grid, meta = occ.load_pgm(newest[:-4])  # parse check before publication
+    n_occ = int((grid == 100).sum())
+    print(f"publishing {newest}: {grid.shape[0]}x{grid.shape[1]} cells, "
+          f"{n_occ} occupied, resolution {meta.get('resolution')}")
+    cmd_save_map(args)
+
+
 def cmd_set_floor_label(args):
     """set_floor_label.sh: update the session's floor-label channel."""
     session = _resolve_session(args)
@@ -285,6 +305,11 @@ def main():
     s.add_argument("--name", default="jueying")
     s.add_argument("--session", default="")
     s.set_defaults(fn=cmd_save_map)
+
+    s = sub.add_parser("pub-occ-map", help="pub_occ_map.sh: validate + re-publish the occupancy map")
+    s.add_argument("--name", default="jueying")
+    s.add_argument("--session", default="")
+    s.set_defaults(fn=cmd_pub_occ_map)
 
     s = sub.add_parser("set-floor-label", help="set_floor_label.sh")
     s.add_argument("label", type=int)

@@ -152,3 +152,15 @@ class TestReviewRegressions:
         assert "session:" in out
         maps = list((tmp_path / "system" / "maps").iterdir())
         assert any(d.name.startswith("IMap-") for d in maps)
+
+
+def test_pub_occ_map_validates_and_publishes(tmp_path, capsys):
+    from pointcloud_slam_tpu.maps import occupancy as occ
+
+    session = ms.cmd_start(_start_args(tmp_path, activate="n"))
+    cfg = occ.OccupancyConfig(size=32, resolution=0.25, max_range=5.0)
+    occ.save_pgm(cfg, occ.create(cfg), os.path.join(session, "details", "occ"))
+    ms.cmd_pub_occ_map(argparse.Namespace(root=str(tmp_path), session="", name="pub"))
+    out = capsys.readouterr().out
+    assert "publishing" in out and "32x32" in out
+    assert (tmp_path / "system" / "map" / "pub.pgm").exists()
