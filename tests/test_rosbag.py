@@ -304,3 +304,34 @@ def test_ramp_fallback_uses_actual_scan_gap(tmp_path):
     t_offs = np.asarray(frames["native"][0][0].t_offs)
     m = np.asarray(frames["native"][0][0].pt_mask)
     assert 0.04 < t_offs[m].max() <= 0.05 + 1e-6, t_offs[m].max()
+
+
+def test_native_reader_survives_truncation(tmp_path):
+    """Fuzz the native C++ parser: a valid bag truncated at arbitrary byte
+    offsets must either open-and-iterate or raise ValueError — never crash
+    the process (bounds-check coverage for the C ABI paths)."""
+    from pointcloud_slam_tpu import native
+
+    rng = np.random.default_rng(11)
+    p = tmp_path / "full.bag"
+    with rosbag.BagWriter(str(p)) as bw:
+        for k in range(5):
+            bw.write_imu("/imu/data", 10.0 + 0.01 * k, rng.normal(0, 1, 3), rng.normal(0, 0.1, 3))
+        pts = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+        bw.write_livox("/livox/lidar", 10.02, pts, np.arange(100, dtype=np.uint32))
+        bw.write_pointcloud2("/velodyne_points", 10.04,
+                             {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                              "time": np.linspace(0, 0.1, 100).astype(np.float32)})
+    raw = p.read_bytes()
+    cuts = sorted(set(
+        list(rng.integers(13, len(raw), 40).tolist()) + [13, len(raw) - 1, len(raw) - 5]
+    ))
+    for cut in cuts:
+        q = tmp_path / "cut.bag"
+        q.write_bytes(raw[:cut])
+        try:
+            with native.NativeBagReader(str(q)) as nb:
+                for _kind, _payload in nb:
+                    pass
+        except ValueError:
+            pass  # a clear parse error is an acceptable outcome
