@@ -203,6 +203,21 @@ def point_to_plane_icp(
     if init_pose is None:
         init_pose = se3.identity(source.dtype)
 
+    if grid_cfg.baked:
+        # On baked grids the single-frame program shape MISCOMPILES on this
+        # libtpu (wrong neighbors, 0.5-1 m pose errors; the round-2
+        # optimization_barrier mitigation is NOT sufficient — hardware-verified
+        # r3s5). The batched formulation of the identical workload is correct
+        # AND faster (serial chain 10.9 ms vs 17.3 ms/frame), so the baked
+        # single-frame path is the batched kernel at B=1.
+        pose_b, done_b, iters_b, (err_b, inl_b, H_b) = batched_point_to_plane_icp(
+            grid_cfg, grid, source[None], source_mask[None],
+            init_R=init_pose.R[None], init_t=init_pose.t[None],
+            cfg=cfg, return_stats=True,
+        )
+        return ICPResult(se3.Pose(pose_b.R[0], pose_b.t[0]), done_b[0], iters_b[0],
+                         err_b[0], inl_b[0], H_b[0])
+
     def search(pose):
         pw = pose.apply(source)
         return correspondences(cfg, grid_cfg, grid, pw, source_mask)
@@ -215,7 +230,7 @@ def point_to_plane_icp(
     return ICPResult(pose, done, iters, err, jnp.sum(valid), H)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_cfg", "cfg"))
+@functools.partial(jax.jit, static_argnames=("grid_cfg", "cfg", "return_stats"))
 def batched_point_to_plane_icp(
     grid_cfg: ops.GridConfig,
     grid: ops.VoxelHashMap,
@@ -224,6 +239,7 @@ def batched_point_to_plane_icp(
     init_R: Optional[jnp.ndarray] = None,       # (B, 3, 3)
     init_t: Optional[jnp.ndarray] = None,       # (B, 3)
     cfg: ICPConfig = ICPConfig(),
+    return_stats: bool = False,
 ):
     """Throughput-mode ICP: B frames solved in ONE program.
 
@@ -313,7 +329,23 @@ def batched_point_to_plane_icp(
     if n_rounds > 0:
         carry, _ = jax.lax.scan(round_body(cfg.search_every), carry, None, length=n_rounds)
     R, t, done, iters, coef, valid = carry
-    return se3.Pose(R, t), done, iters
+    if not return_stats:
+        return se3.Pose(R, t), done, iters
+    # final per-frame stats from the last cached correspondences re-evaluated
+    # at the converged pose (the ICPResult contract of the single-frame path)
+    pw = transform(R, t)
+    nx = jnp.where(valid, coef[0], 0.0)
+    ny = jnp.where(valid, coef[1], 0.0)
+    nz = jnp.where(valid, coef[2], 0.0)
+    r_w = jnp.where(valid, pw[0] * nx + pw[1] * ny + pw[2] * nz + coef[3], 0.0)
+    cx = pw[1] * nz - pw[2] * ny
+    cy = pw[2] * nx - pw[0] * nz
+    cz = pw[0] * ny - pw[1] * nx
+    J = jnp.stack([cx, cy, cz, nx, ny, nz], axis=0).reshape(6, B, N)
+    H = jnp.einsum("ibn,jbn->bij", J, J)
+    err = jnp.sum(r_w.reshape(B, N) ** 2, axis=1)
+    inliers = jnp.sum(valid.reshape(B, N), axis=1)
+    return se3.Pose(R, t), done, iters, (err, inliers, H)
 
 
 def so3_exp_batched(w: jnp.ndarray) -> jnp.ndarray:
