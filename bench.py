@@ -150,10 +150,17 @@ def config3_lio(n_frames=200):
     from pointcloud_slam_tpu.io import feed
     from pointcloud_slam_tpu.models import lio
 
+    # round-3 tuned odometry shape (tools/profile_lio.py / probe_lio_parts.py):
+    # capacity 1<<16 (occupancy ~15k voxels -> load 0.23; halves the per-frame
+    # knn-table rebuild), one search per update (research_on_converge=False —
+    # correspondences cached across the iterated update's 3 iterations),
+    # survivor/insert budgets sized to the measured steady state. ATE vs the
+    # exact-IMU ground truth is reported below and gates these choices.
     cfg = lio.LIOConfig(
-        grid=ops.GridConfig(capacity=1 << 17, pts_per_voxel=4, resolution=0.4, nearby=7, probe=4, claim_rounds=2),
+        grid=ops.GridConfig(capacity=1 << 16, pts_per_voxel=4, resolution=0.4, nearby=7, probe=4, claim_rounds=2),
         scan_leaf=0.3, map_leaf=0.3, init_imu_frames=1,
-        scan_budget=8192, insert_budget=4096,
+        scan_budget=6144, insert_budget=2048,
+        max_iterations=3, research_on_converge=False,
     )
     BLOCK = 40
     n_pts, n_imu = 20_000, 20

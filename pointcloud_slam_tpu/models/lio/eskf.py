@@ -132,6 +132,7 @@ def update_iterated(
     max_iter: int = 4,
     epsi: float = 0.001,
     reduce: Optional[Callable] = None,
+    research: bool = True,
 ) -> UpdateResult:
     """Iterated measurement update, small-state path (n <= measurements).
 
@@ -182,8 +183,11 @@ def update_iterated(
         x = jax.tree.map(lambda a, b: jnp.where(done, a, b), x, x_new)
         conv = jnp.all(jnp.abs(dx_) < epsi)
         t_conv = t_conv + jnp.where(conv & ~done, 1, 0)
-        # re-search next iteration when this one converged (reference semantics)
-        do_search = conv
+        # re-search next iteration when this one converged (reference
+        # semantics, laser_mapping.cc:618 via ekfom_data.converge); with
+        # research=False the first iteration's correspondences are reused for
+        # the whole update — one kNN pass per frame instead of two/three
+        do_search = conv if research else (conv & False)
         finish = (t_conv > 1) | (it == max_iter - 1)
 
         # final covariance at the finishing iteration: the asymmetric row/column

@@ -66,6 +66,10 @@ class Scan2MapResult(NamedTuple):
 def _corner_rows(cfg, grid, pw, mask):
     """Point-to-line correspondences -> plane-style rows (n, r)."""
     nbrs, d2, cnt, _ = ops.knn(cfg.corner_grid, grid, pw, k=5, max_range=cfg.max_corr_dist)
+    if cfg.corner_grid.baked:
+        # same libtpu fusion-miscompile guard as register/icp.correspondences:
+        # materialize the baked-grid search before the fit consumes it
+        nbrs, d2, cnt = jax.lax.optimization_barrier((nbrs, d2, cnt))
     nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
     center, direction, line_ok = fit.line_fit(nbrs, nmask, cfg.line_ratio)
     ok = mask & line_ok & (cnt >= 5)
@@ -92,6 +96,8 @@ def _corner_rows(cfg, grid, pw, mask):
 
 def _surf_rows(cfg, grid, pw, mask):
     nbrs, d2, cnt, _ = ops.knn(cfg.surf_grid, grid, pw, k=5, max_range=cfg.max_corr_dist)
+    if cfg.surf_grid.baked:
+        nbrs, d2, cnt = jax.lax.optimization_barrier((nbrs, d2, cnt))
     nmask = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) < cnt[None, :]
     coef, plane_ok = fit.plane_fit(nbrs, nmask, cfg.plane_threshold, 5)
     ok = mask & plane_ok & (cnt >= 5)

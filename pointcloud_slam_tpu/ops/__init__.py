@@ -1,7 +1,7 @@
 """Core data-structure ops: voxel-hash map, downsampling, masked reductions."""
 
 from . import gaussian_grid, phc
-from .downsample import compact, random_decimate, voxel_downsample
+from .downsample import compact, random_decimate, voxel_downsample, voxel_downsample_compact
 from .gaussian_grid import GaussianVoxelMap
 from .phc import hilbert_coords, hilbert_index, phc_merge, phc_sort
 from .voxel_grid import (
@@ -28,6 +28,7 @@ __all__ = [
     "point_to_voxel",
     "stencil_offsets",
     "voxel_downsample",
+    "voxel_downsample_compact",
     "random_decimate",
     "compact",
 ]

@@ -51,6 +51,43 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray, leaf: float):
 
 
 @functools.partial(jax.jit, static_argnames=("budget",))
+def voxel_downsample_compact(points: jnp.ndarray, mask: jnp.ndarray, leaf: float, budget: int):
+    """Fused `voxel_downsample` + `compact`: centroid voxel filter whose output
+    is already packed into a fixed (3, budget) array.
+
+    The downsample's coordinate sort assigns consecutive segment ids to the
+    occupied voxels, so the per-segment centroid array IS the compacted
+    output — the separate `compact` pass (a second full-length argsort,
+    ~0.4 ms at 20k points on v5e) is free here. Output order is voxel-coord
+    lexicographic rather than first-occurrence order; every consumer in this
+    package is order-independent (masked sets). Segments beyond `budget` are
+    dropped, exactly like compact() after voxel_downsample().
+
+    Returns (points (3, budget), mask (budget,)).
+    """
+    N = points.shape[1]
+    budget = min(budget, N)
+    big = jnp.iinfo(jnp.int32).max
+    coords = jnp.floor(points / leaf).astype(jnp.int32)
+    coords = jnp.where(mask[None, :], coords, big)
+    order = jnp.lexsort((coords[2], coords[1], coords[0]))
+    sc = coords[:, order]
+    sp = points[:, order]
+    valid = sc[0] < big
+    is_first = jnp.concatenate([jnp.ones((1,), bool), jnp.any(sc[:, 1:] != sc[:, :-1], axis=0)]) & valid
+    seg_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    # seg_id[-1] is (#segments - 1) over the whole array (invalid columns sort
+    # last and never start a segment); -1 when nothing is valid
+    n_seg = seg_id[-1] + 1
+    tgt = jnp.where(valid, seg_id, budget)
+    seg_sum = jnp.zeros((3, budget), points.dtype).at[:, tgt].add(sp, mode="drop")
+    seg_cnt = jnp.zeros((budget,), points.dtype).at[tgt].add(1.0, mode="drop")
+    out = seg_sum / jnp.maximum(seg_cnt[None, :], 1.0)
+    out_mask = jax.lax.broadcasted_iota(jnp.int32, (budget,), 0) < jnp.minimum(n_seg, budget)
+    return out, out_mask
+
+
+@functools.partial(jax.jit, static_argnames=("budget",))
 def compact(points: jnp.ndarray, mask: jnp.ndarray, budget: int):
     """Pack the masked columns of (3, N) into a fixed (3, budget) array.
 

@@ -70,6 +70,12 @@ class GridConfig:
     # optimization_barrier in register/icp.py::correspondences; repro matrix
     # in tools/repro_baked_single.py.)
     baked: bool = False
+    # NOTE (measured, v5e): a "split table" variant — (P, C) fingerprint
+    # table + a second direct gather of the point block per stencil offset —
+    # was tried to avoid rebuilding the full (P*(1+3K), C) table every LIO
+    # frame (~1.3 ms). It LOSES everywhere: the dependent second gather costs
+    # more than the rebuild saves (5.6 vs 4.6 ms/frame even with one search
+    # per frame). The monolithic one-gather-per-offset table stands.
 
     def __post_init__(self):
         assert self.capacity & (self.capacity - 1) == 0, "capacity must be a power of two"
@@ -340,17 +346,35 @@ def insert(config: GridConfig, grid: VoxelHashMap, points: jnp.ndarray, mask: jn
     return new_grid
 
 
+def _fp_cnt_row(config: GridConfig, grid: VoxelHashMap) -> jnp.ndarray:
+    """Fingerprint row with the per-voxel point count packed into the low 6 bits."""
+    return (grid.fp & jnp.uint32(0xFFFFFFC0)) | jnp.minimum(grid.npts, config.pts_per_voxel).astype(jnp.uint32)
+
+
+def _fp_table(config: GridConfig, grid: VoxelHashMap) -> jnp.ndarray:
+    """Rolled fingerprint+count probe table (P, C) — the split/baked-mode table."""
+    fp_cnt = _fp_cnt_row(config, grid)
+    return jnp.concatenate([jnp.roll(fp_cnt, -j)[None, :] for j in range(config.probe)], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def knn_table(config: GridConfig, grid: VoxelHashMap) -> jnp.ndarray:
-    """Prebuild knn()'s rolled probe-window gather table (P*(1+3K), C).
+    """Prebuild knn()'s shared per-search gather table.
 
-    The table is a pure function of the map; rebuilding it inside every knn
-    call costs a (P*(1+3K)*C*4)-byte HBM copy per search (~100 MB for the
-    production config — ~1.5 ms/frame across the iterated update's searches).
-    Callers that search the SAME map several times per frame (the LIO
-    iterated update) build it once and pass it via knn(..., tbl=...)."""
+    Full mode: the rolled probe-window table (P*(1+3K), C) — fingerprints,
+    counts and ALL candidate points, so each stencil offset costs ONE column
+    gather per query. The table is a pure function of the map; rebuilding it
+    inside every knn call costs a (P*(1+3K)*C*4)-byte HBM copy per search
+    (~27 MB for the production config). Callers that search the SAME map
+    several times per frame (the LIO iterated update) build it once and pass
+    it via knn(..., tbl=...).
+
+    Baked mode: only the (P, C) rolled fingerprint+count table — candidate
+    points are gathered straight from grid.pts at the matched slot."""
     C, K, P = config.capacity, config.pts_per_voxel, config.probe
-    fp_cnt = (grid.fp & jnp.uint32(0xFFFFFFC0)) | jnp.minimum(grid.npts, K).astype(jnp.uint32)
+    if config.baked:
+        return _fp_table(config, grid)
+    fp_cnt = _fp_cnt_row(config, grid)
     pts2d = grid.pts.reshape(3 * K, C)
     return jnp.concatenate(
         [
@@ -405,10 +429,9 @@ def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5
     # yields the entire probe window INCLUDING its candidate points.
     # Build cost is a linear copy (~(P*(3K+1)*C)*4 bytes, ~0.1 ms at HBM rate),
     # amortized over the 20k-point query pass it accelerates.
-    fp_cnt = (grid.fp & jnp.uint32(0xFFFFFFC0)) | jnp.minimum(grid.npts, K).astype(jnp.uint32)  # 6-bit count, K <= 63
     blk = 1 + 3 * K
-    if not config.baked and tbl is None:
-        tbl = knn_table(config, grid)                                        # (P*(1+3K), C) uint32
+    if tbl is None:
+        tbl = knn_table(config, grid)
 
     zero = qx * 0
     # running best registers as stacked arrays updated with static-index
@@ -442,8 +465,7 @@ def knn(config: GridConfig, grid: VoxelHashMap, queries: jnp.ndarray, k: int = 5
         cx, cy, cz = cq[0], cq[1], cq[2]
         h0 = _hash3(cx, cy, cz, C)
         fpq = _fingerprint(cx, cy, cz) & jnp.uint32(0xFFFFFFC0)
-        tblfp = jnp.concatenate([jnp.roll(fp_cnt, -j)[None, :] for j in range(P)], axis=0)  # (P, C)
-        g = tblfp[:, h0]                                  # (P, N) — gather row 1
+        g = tbl[:, h0]                                    # (P, N) — gather row 1
         match = (g & jnp.uint32(0xFFFFFFC0)) == fpq[None, :]
         jm = jnp.argmax(match, axis=0).astype(jnp.int32)
         safe = (h0 + jm) & (C - 1)

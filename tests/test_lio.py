@@ -185,6 +185,34 @@ class TestLIOPipeline:
         assert errs[-1] < 0.25, f"final position error {errs[-1]:.3f} m"
         assert errs.mean() < 0.2, f"mean ATE {errs.mean():.3f} m"
 
+    def test_end_to_end_single_search(self):
+        """research_on_converge=False (the round-3 throughput shape: one kNN
+        pass per update, correspondences cached across iterations) tracks the
+        same synthetic sequence within the same ATE budget, with a compacted
+        scan budget exercising the fused voxel_downsample_compact path."""
+        cfg = lio.LIOConfig(
+            grid=__import__("pointcloud_slam_tpu").ops.GridConfig(
+                capacity=1 << 15, pts_per_voxel=8, resolution=0.4, nearby=7
+            ),
+            scan_leaf=0.3,
+            map_leaf=0.3,
+            init_imu_frames=2,
+            scan_budget=2048,
+            insert_budget=1024,
+            research_on_converge=False,
+        )
+        world, traj, frames = simulate_sequence(n_frames=25)
+        s = lio.create_state(cfg)
+        step = jax.jit(lambda s, f: lio.lio_step(cfg, s, f))
+        errs = []
+        for k, (fr, gt_pos, gt_R) in enumerate(frames):
+            s, out = step(s, fr)
+            if k >= 5:
+                errs.append(np.asarray(out.pos) - (gt_pos - frames[0][1]))
+        errs = np.linalg.norm(np.stack(errs), axis=1)
+        assert errs[-1] < 0.25, f"final position error {errs[-1]:.3f} m"
+        assert errs.mean() < 0.2, f"mean ATE {errs.mean():.3f} m"
+
     def test_reset(self):
         cfg = lio.LIOConfig()
         s = lio.reset(cfg)

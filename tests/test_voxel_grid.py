@@ -138,6 +138,34 @@ class TestDownsample:
         out, omask = ops.voxel_downsample(soa(pts), jnp.asarray(mask), leaf=0.5)
         assert np.asarray(omask).sum() == 0
 
+    def test_fused_downsample_compact_matches_unfused(self, rng):
+        """voxel_downsample_compact == voxel_downsample + compact as centroid
+        SETS (output order is voxel-lex vs first-occurrence)."""
+        pts = rng.normal(0, 6, size=(512, 3)).astype(np.float32)
+        mask = rng.random(512) < 0.9
+        a, am = ops.voxel_downsample(soa(pts), jnp.asarray(mask), leaf=0.5)
+        b, bm = ops.voxel_downsample_compact(soa(pts), jnp.asarray(mask), leaf=0.5, budget=512)
+        assert b.shape == (3, 512)
+        na, nb_ = int(np.asarray(am).sum()), int(np.asarray(bm).sum())
+        assert na == nb_
+        sa = {tuple(r) for r in np.asarray(a)[:, np.asarray(am)].T.round(4).tolist()}
+        sb = {tuple(r) for r in np.asarray(b)[:, np.asarray(bm)].T.round(4).tolist()}
+        assert sa == sb
+        # compacted: all valid columns are packed at the front
+        bm_np = np.asarray(bm)
+        assert bm_np[:nb_].all() and not bm_np[nb_:].any()
+
+    def test_fused_downsample_compact_truncates_to_budget(self, rng):
+        pts = rng.normal(0, 6, size=(512, 3)).astype(np.float32)
+        out, mask = ops.voxel_downsample_compact(soa(pts), jnp.ones(512, bool), leaf=0.05, budget=64)
+        assert out.shape == (3, 64)
+        assert int(np.asarray(mask).sum()) == 64  # far more survivors than budget
+
+    def test_fused_downsample_compact_empty(self):
+        pts = np.zeros((16, 3), np.float32)
+        out, mask = ops.voxel_downsample_compact(soa(pts), jnp.zeros(16, bool), leaf=0.5, budget=8)
+        assert int(np.asarray(mask).sum()) == 0
+
     def test_decimate(self):
         pts = np.zeros((10, 3), np.float32)
         mask = np.ones(10, bool)
@@ -165,6 +193,21 @@ class TestBakedGrid:
         # identical candidate sets -> identical sorted distances and counts
         np.testing.assert_array_equal(np.asarray(cnt_u), np.asarray(cnt_b))
         np.testing.assert_allclose(np.asarray(d2_u), np.asarray(d2_b), rtol=1e-6)
+
+    def test_baked_prebuilt_table_matches_internal(self):
+        """knn(tbl=knn_table(...)) == knn(tbl=None) for baked grids (the
+        baked fingerprint table is (probe, C), not the full rolled table)."""
+        rng = np.random.default_rng(13)
+        pts = rng.uniform(-8, 8, (3, 2000)).astype(np.float32)
+        q = rng.uniform(-7, 7, (3, 200)).astype(np.float32)
+        cfg_b = ops.GridConfig(capacity=1 << 13, pts_per_voxel=8, resolution=1.0, probe=8, nearby=7, baked=True)
+        g_b = ops.insert(cfg_b, ops.create(cfg_b), jnp.asarray(pts), jnp.ones(2000, bool))
+        tbl = ops.knn_table(cfg_b, g_b)
+        assert tbl.shape == (cfg_b.probe, cfg_b.capacity)
+        r0 = ops.knn(cfg_b, g_b, jnp.asarray(q), k=5, max_range=3.0)
+        r1 = ops.knn(cfg_b, g_b, jnp.asarray(q), k=5, max_range=3.0, tbl=tbl)
+        for a, b in zip(r0, r1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_baked_capacity_drops_are_graceful(self):
         rng = np.random.default_rng(12)
