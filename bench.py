@@ -4,11 +4,13 @@
 Headline (config 1): scan-to-map point-to-plane ICP frames/sec, 20k-pt
 frames, 30 GN iterations — target 100 Hz/chip (vs_baseline = fps / 100).
 
-Secondary (configs 2-5, reported in detail.secondary):
+Secondary (configs 2-5 = BASELINE configs; 6 = extra, reported in
+detail.secondary):
   2. NDT scan-to-map over a Livox-like frame sequence      [fps]
   3. Full LIO loop (iESKF + undistort + map insert)        [fps]
   4. Occupancy-grid mapping + pcd2map pipeline             [scans/sec]
   5. Pose-graph backend solve, 5k keyframes + 256 loops    [ms/solve]
+  6. Full LIO-SAM slam_step (scan2map + loops + window)    [fps]
 
 Throughput-mode measurement: frames are chained inside ONE jitted program
 (lax.map / lax.scan), one device->host readback at the end — the production
@@ -38,10 +40,14 @@ N_POINTS = 20_000
 N_ITERS = 30
 F_CHAIN = 24   # frames per batched program (config 1); 16 for config 2
 F_SERIAL = 8   # frames in the serial reference chain
-# baked stencil: one gather row per query instead of 7 (see GridConfig.baked);
-# pts_per_voxel 28 = 7 stencil voxels x 4 — same candidate budget as the
-# unbaked (K=4, nearby=7) map
-GRID = ops.GridConfig(capacity=1 << 17, pts_per_voxel=28, resolution=0.5, probe=4, nearby=7, baked=True)
+# baked stencil: one gather row per query instead of 7 (see GridConfig.baked).
+# Round-3 sweep (tools + /tmp/icp_ab.py): SMALLER voxels with FEWER candidate
+# rows dominate the old 0.5 m / 28-candidate layout on BOTH axes — res 0.3 m
+# keeps the 7-voxel stencil's candidates tight around the query so 10 rows
+# beat 28 blurrier ones: 118.5 -> 232.8 fps and max err 0.0071 -> 0.0022 m.
+# (The stencil reach shrinks to ~0.3 m; the declared workload — 0.3 m initial
+# offsets, 3-search cadence — converges with margin, gated by trans_err below.)
+GRID = ops.GridConfig(capacity=1 << 17, pts_per_voxel=10, resolution=0.3, probe=4, nearby=7, baked=True)
 ICP = register.ICPConfig(
     search_every=10, warmup_searches=0,
     solver=register.SolverConfig(max_iterations=N_ITERS, rotation_epsilon=0.0, translation_epsilon=0.0),
@@ -157,7 +163,7 @@ def config3_lio(n_frames=200):
     # survivor/insert budgets sized to the measured steady state. ATE vs the
     # exact-IMU ground truth is reported below and gates these choices.
     cfg = lio.LIOConfig(
-        grid=ops.GridConfig(capacity=1 << 16, pts_per_voxel=4, resolution=0.4, nearby=7, probe=4, claim_rounds=2),
+        grid=ops.GridConfig(capacity=1 << 16, pts_per_voxel=3, resolution=0.4, nearby=7, probe=4, claim_rounds=2),
         scan_leaf=0.3, map_leaf=0.3, init_imu_frames=1,
         scan_budget=6144, insert_budget=2048,
         max_iterations=3, research_on_converge=False,
@@ -314,9 +320,65 @@ def config5_backend():
             "backend_window_update_ms": round(dt_win * 1e3, 1)}
 
 
+def config6_slam():
+    """Full LIO-SAM slam_step throughput (scan2map + keyframe gating + SC/RS
+    loop machinery + incremental window solve) at product shapes, with the
+    round-3 baked corner/surf local maps. Not a BASELINE config — reported as
+    extra product-shape evidence (the reference's mapOptmization runs at
+    lidar rate ~10 Hz, mapOptmization.cpp:356-405)."""
+    from pointcloud_slam_tpu.models.liosam import backend as bk
+    from pointcloud_slam_tpu.models.liosam import scan2map as s2m
+    from pointcloud_slam_tpu.models.liosam import slam
+
+    n_corner, n_surf, n_frames = 512, 2048, 32
+    corners_w, surfs_w = synthetic.make_feature_world()
+    cfg = slam.SLAMConfig(
+        backend=bk.BackendConfig(max_keyframes=128, max_loops=16,
+                                 keyframe_dist_thresh=0.3, gn_iterations=3, pcg_iterations=24),
+        n_corner=n_corner, n_surf=n_surf,
+        scan2map=s2m.Scan2MapConfig(
+            corner_grid=s2m.baked_grid(s2m.Scan2MapConfig().corner_grid),
+            surf_grid=s2m.baked_grid(s2m.Scan2MapConfig().surf_grid),
+        ),
+    )
+
+    def soa(x):
+        return jnp.asarray(np.ascontiguousarray(np.asarray(x).T))
+
+    cs, cms, ss, sms, gts = [], [], [], [], []
+    for k in range(n_frames):
+        ang = 0.04 * k
+        t = np.array([6.0 * np.cos(ang) - 6.0, 6.0 * np.sin(ang), 1.0], np.float32)
+        R = np.eye(3, dtype=np.float32)
+        c, cm = synthetic.take_scan(corners_w, R, t, n_corner, seed=k)
+        s, sm = synthetic.take_scan(surfs_w, R, t, n_surf, seed=1000 + k)
+        cs.append(soa(c)); cms.append(jnp.asarray(cm)); ss.append(soa(s)); sms.append(jnp.asarray(sm))
+        gts.append(t)
+    cs, cms, ss, sms = jnp.stack(cs), jnp.stack(cms), jnp.stack(ss), jnp.stack(sms)
+
+    @jax.jit
+    def run_all(state):
+        def body(st, inp):
+            c, cm, s, sm = inp
+            st, out = slam.slam_step(cfg, st, c, cm, s, sm)
+            return st, out.pose.t
+        return jax.lax.scan(body, state, (cs, cms, ss, sms))
+
+    state = slam.create_state(cfg)
+    _, ts = run_all(state)
+    err = float(np.linalg.norm(np.asarray(ts)[-1] - (gts[-1] - gts[0])))
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, ts = run_all(state)
+        _ = np.asarray(ts)
+    dt = (time.perf_counter() - t0) / (reps * n_frames)
+    return {"slam_step_fps": round(1.0 / dt, 2), "slam_final_err_m": round(err, 4)}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", type=int, default=0, help="run a single config (1-5)")
+    ap.add_argument("--only", type=int, default=0, help="run a single config (1-6)")
     ap.add_argument("--skip_secondary", action="store_true")
     ap.add_argument("--platform", default="", help="force the JAX backend (dev only; "
                     "the recorded numbers are TPU)")
@@ -325,7 +387,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     if args.only:
-        fns = {1: config1_icp, 2: config2_ndt, 3: config3_lio, 4: config4_occupancy, 5: config5_backend}
+        fns = {1: config1_icp, 2: config2_ndt, 3: config3_lio, 4: config4_occupancy, 5: config5_backend, 6: config6_slam}
         out = fns[args.only]()
         print(json.dumps(out if isinstance(out, dict) else {"fps": out[0], **out[1]}))
         return
@@ -333,7 +395,7 @@ def main():
     fps, det1 = config1_icp()
     secondary = {}
     if not args.skip_secondary:
-        for fn in (config2_ndt, config3_lio, config4_occupancy, config5_backend):
+        for fn in (config2_ndt, config3_lio, config4_occupancy, config5_backend, config6_slam):
             try:
                 secondary.update(fn())
             except Exception as e:  # a secondary config must never kill the headline

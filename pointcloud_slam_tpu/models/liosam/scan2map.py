@@ -31,6 +31,16 @@ from ...geom import fit, se3
 from ...register import solver
 
 
+def baked_grid(g: ops.GridConfig) -> ops.GridConfig:
+    """Stencil-baked variant of a local-map grid config: same stencil and
+    resolution, per-voxel capacity expanded to nearby x pts_per_voxel so the
+    baked candidate budget matches the unbaked one. One-gather kNN inside
+    scan_to_map measured the slam step at 19.6 vs 27.9 ms/keyframe on v5e
+    (tools/profile_slam.py); the fit consumes the search through the baked
+    fusion barrier in _corner_rows/_surf_rows."""
+    return dataclasses.replace(g, pts_per_voxel=g.nearby * g.pts_per_voxel, baked=True)
+
+
 @dataclasses.dataclass(frozen=True)
 class Scan2MapConfig:
     corner_grid: ops.GridConfig = dataclasses.field(

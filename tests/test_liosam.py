@@ -107,6 +107,42 @@ class TestScan2Map:
         assert rot_err < 0.5, f"rot {rot_err}"
         assert int(res.num_surf) > 500
 
+    def test_baked_local_maps_match_unbaked(self):
+        """scan2map.baked_grid local maps (one-gather kNN, the product shape
+        of run_slam_offline/bench config 6) recover the same pose as the
+        unbaked reference layout."""
+        import dataclasses as dc
+
+        rng = np.random.default_rng(5)
+        poles = []
+        for (px, py) in [(-4, -4), (4, -4), (-4, 4), (4, 4), (0, 4)]:
+            z = rng.uniform(0, 3, size=(40, 1))
+            poles.append(np.concatenate([np.full((40, 1), float(px)), np.full((40, 1), float(py)), z], axis=1))
+        corners = np.concatenate(poles).astype(np.float32)
+        floor = np.concatenate([rng.uniform(-5, 5, size=(800, 2)), np.zeros((800, 1))], axis=1)
+        wall = np.stack([rng.uniform(-5, 5, 600), np.full(600, 5.0), rng.uniform(0, 3, 600)], axis=1)
+        surfs = np.concatenate([floor, wall]).astype(np.float32)
+        surfs += rng.normal(scale=0.004, size=surfs.shape).astype(np.float32)
+
+        ops_ = __import__("pointcloud_slam_tpu").ops
+        R, t = synthetic.random_pose(seed=7, rot_scale=0.03, trans_scale=0.2)
+        csrc, ssrc = ((corners - t) @ R).astype(np.float32), ((surfs - t) @ R).astype(np.float32)
+
+        poses = []
+        for baked in (False, True):
+            cfg = scan2map.Scan2MapConfig()
+            if baked:
+                cfg = dc.replace(cfg, corner_grid=scan2map.baked_grid(cfg.corner_grid),
+                                 surf_grid=scan2map.baked_grid(cfg.surf_grid))
+            cmap = ops_.insert(cfg.corner_grid, ops_.create(cfg.corner_grid), soa(corners), jnp.ones(len(corners), bool))
+            smap = ops_.insert(cfg.surf_grid, ops_.create(cfg.surf_grid), soa(surfs), jnp.ones(len(surfs), bool))
+            res = scan2map.scan_to_map(
+                cfg, cmap, smap, soa(csrc), jnp.ones(len(csrc), bool), soa(ssrc), jnp.ones(len(ssrc), bool)
+            )
+            poses.append(np.asarray(res.pose.t))
+            assert np.linalg.norm(poses[-1] - t) < 0.05, f"baked={baked}"
+        np.testing.assert_allclose(poses[0], poses[1], atol=5e-3)
+
 
 class TestScanContext:
     def test_detects_rotated_revisit(self):
