@@ -117,9 +117,20 @@ def config1_icp():
     for f in range(4):
         _ = np.asarray(solve1(grid, srcs[f % F_CHAIN]))
     lat_ms = (time.perf_counter() - t0) / 4 * 1e3
+    # tunnel floor: an (almost) empty program + readback — what the axon relay
+    # charges ANY single-program dispatch. single_frame_device_ms_est is the
+    # on-device share (what a locally-attached chip would see).
+    noop = jax.jit(lambda s: s[:, 0] + 1.0)
+    _ = np.asarray(noop(srcs[0]))
+    t0 = time.perf_counter()
+    for f in range(4):
+        _ = np.asarray(noop(srcs[f % F_CHAIN]))
+    floor_ms = (time.perf_counter() - t0) / 4 * 1e3
     return 1.0 / dt, {"per_frame_ms": round(dt * 1e3, 3),
                       "serial_per_frame_ms": round(dt_serial * 1e3, 3),
                       "single_frame_latency_ms": round(lat_ms, 3),
+                      "tunnel_floor_ms": round(floor_ms, 3),
+                      "single_frame_device_ms_est": round(max(lat_ms - floor_ms, 0.0), 3),
                       "batch": F_CHAIN, "trans_err_max_m": round(max(terr, terr_b), 5)}
 
 
