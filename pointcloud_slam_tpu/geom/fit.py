@@ -126,6 +126,66 @@ def eigh3x3(A: jnp.ndarray):
     return vals, vecs
 
 
+def eigh_small(A: jnp.ndarray, sweeps: int = 6):
+    """Eigendecomposition of ONE small (n x n, n <= ~8) symmetric matrix by
+    statically-unrolled cyclic Jacobi rotations.
+
+    Returns ``(vals, vecs)`` in the `jnp.linalg.eigh` convention: eigenvalues
+    ascending, eigenvectors as COLUMNS of ``vecs``.
+
+    Use this ONLY where the decomposition must be differentiated: the
+    `jnp.linalg.eigh` VJP contains 1/(w_i - w_j) pairing terms that overflow
+    for (near-)repeated eigenvalues — exactly the near-converged /
+    near-diagonal regime jacfwd-linearized pipelines hit — while this form
+    differentiates cleanly (see below). It is NOT a runtime win: measured on
+    v5e, one call costs ~0.6 ms (the unrolled sweeps are a ~1350-op
+    sequential scalar chain) vs ~0.1-0.2 ms for the `jnp.linalg.eigh` custom
+    call; putting it inside the scan2map GN loop halved slam_step throughput
+    (50.9 -> 26.8 fps). Hot non-differentiated paths (the LOAM degeneracy
+    guard, NDT getMaxEigen export) keep `jnp.linalg.eigh`.
+
+    Grad-safety: the rotation angle is computed as
+    ``0.5 * atan2(2 a_pq, a_pp - a_qq)``. Unlike the classic algebraic Jacobi
+    form ``t = sign(th) / (|th| + sqrt(th^2 + 1))`` with
+    ``th = (a_qq - a_pp) / (2 a_pq)`` — whose intermediate ``th`` overflows as
+    the off-diagonal ``a_pq -> 0`` and poisons the backward pass — the atan2
+    derivative ``(x, -y)/(x^2 + y^2)`` stays finite whenever the pair is not
+    exactly (0, 0), so the whole decomposition differentiates cleanly.
+
+    `sweeps` full cyclic sweeps are unrolled at trace time; Jacobi converges
+    quadratically, so 6 sweeps reach float32 roundoff for n = 6 even with
+    eigenvalue spreads of ~1e7.
+    """
+    n = A.shape[-1]
+    A = (A + A.T) * 0.5
+    V = jnp.eye(n, dtype=A.dtype)
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                # zero a_pq: 2*theta = atan2(2 a_pq, a_pp - a_qq)
+                theta = 0.5 * jnp.arctan2(2.0 * A[p, q], A[p, p] - A[q, q])
+                c, s = jnp.cos(theta), jnp.sin(theta)
+                # A <- G^T A G with G the (p, q)-plane rotation [[c, -s], [s, c]]
+                col_p, col_q = A[:, p], A[:, q]
+                A = A.at[:, p].set(c * col_p + s * col_q)
+                A = A.at[:, q].set(c * col_q - s * col_p)
+                row_p, row_q = A[p, :], A[q, :]
+                A = A.at[p, :].set(c * row_p + s * row_q)
+                A = A.at[q, :].set(c * row_q - s * row_p)
+                vcol_p, vcol_q = V[:, p], V[:, q]
+                V = V.at[:, p].set(c * vcol_p + s * vcol_q)
+                V = V.at[:, q].set(c * vcol_q - s * vcol_p)
+        A = (A + A.T) * 0.5  # contain drift between sweeps
+    diag = jnp.diagonal(A)
+    order = jnp.argsort(diag)
+    return diag[order], V[:, order]
+
+
+def eigvalsh_small(A: jnp.ndarray, sweeps: int = 6) -> jnp.ndarray:
+    """Ascending eigenvalues of one small symmetric matrix (see eigh_small)."""
+    return eigh_small(A, sweeps=sweeps)[0]
+
+
 def solve3x3_sym(a00, a01, a02, a11, a12, a22, bx, by, bz):
     """Closed-form (adjugate) solve of a symmetric 3x3 system, component arrays.
 

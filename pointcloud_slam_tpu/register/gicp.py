@@ -156,7 +156,7 @@ def align(
             cfg, grid_cfg, grid, target_cov_flat, source, source_cov, source_mask, pose, cache, do_search
         )
         lam = 1e-6 * jnp.max(jnp.abs(jnp.diag(H)))
-        d = solver._solve_step(H, b, lam, scfg.degeneracy_threshold)
+        d = solver._solve_step(H, b, lam, solver.inline_projection(H, scfg.degeneracy_threshold))
         conv = solver._converged(d, scfg)
         pose_new = se3.retract_left(pose, d)
         pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)

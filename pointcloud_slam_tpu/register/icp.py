@@ -150,7 +150,7 @@ def icp_loop(cfg: ICPConfig, source: jnp.ndarray, init_pose: se3.Pose, search, p
             H = jax.lax.psum(H, psum_axis)
             b = jax.lax.psum(b, psum_axis)
             err = jax.lax.psum(err, psum_axis)
-        d = solver._solve_step(H, b, jnp.zeros((), dtype), scfg.degeneracy_threshold)
+        d = solver._solve_step(H, b, jnp.zeros((), dtype), solver.inline_projection(H, scfg.degeneracy_threshold))
         conv = solver._converged(d, scfg)
         pose_new = se3.retract_left(pose, d)
         pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
@@ -290,7 +290,7 @@ def batched_point_to_plane_icp(
         rb = r_w.reshape(B, N)
         H = jnp.einsum("ibn,jbn->bij", J, J)
         b = jnp.einsum("ibn,bn->bi", J, rb)
-        d = jax.vmap(lambda Hb, bb: solver._solve_step(Hb, bb, jnp.zeros((), dtype), scfg.degeneracy_threshold))(H, b)
+        d = jax.vmap(lambda Hb, bb: solver._solve_step(Hb, bb, jnp.zeros((), dtype), solver.inline_projection(Hb, scfg.degeneracy_threshold)))(H, b)
         conv = (jnp.max(jnp.abs(d[:, :3]), axis=1) < scfg.rotation_epsilon) & (
             jnp.max(jnp.abs(d[:, 3:]), axis=1) < scfg.translation_epsilon
         )

@@ -335,7 +335,7 @@ def align_d2d(
         pose, done, iters, Hl = carry
         H, b, err = linearize(pose)
         lam = 1e-6 * jnp.max(jnp.abs(jnp.diag(H)))
-        d = solver._solve_step(H, b, lam, scfg.degeneracy_threshold)
+        d = solver._solve_step(H, b, lam, solver.inline_projection(H, scfg.degeneracy_threshold))
         conv = solver._converged(d, scfg)
         pose_new = se3.retract_left(pose, d)
         pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
@@ -387,7 +387,7 @@ def align(
         pw = pose.apply(source)
         H, b, err = _linearize_cached(d1, d2, means, icovs, valid, pw, source)
         lam = 1e-6 * jnp.max(jnp.abs(jnp.diag(H)))
-        d = solver._solve_step(H, b, lam, scfg.degeneracy_threshold)
+        d = solver._solve_step(H, b, lam, solver.inline_projection(H, scfg.degeneracy_threshold))
         conv = solver._converged(d, scfg)
         pose_new = se3.retract_left(pose, d)
         pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)

@@ -23,7 +23,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..geom import se3
+from ..geom import fit, se3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,14 +79,51 @@ def _chol_solve6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(x)
 
 
-def _solve_step(H: jnp.ndarray, b: jnp.ndarray, lam: jnp.ndarray, degeneracy_threshold: float) -> jnp.ndarray:
-    """Solve (H + lam*I) d = -b with optional degeneracy projection of d."""
+def degeneracy_projection(H: jnp.ndarray, threshold: float):
+    """(degenerate, P) for the LOAM degeneracy guard: P projects an update out
+    of the eigendirections of H whose eigenvalue is below `threshold`.
+
+    Reference note (`mapOptmization.cpp:1508-1536`): the reference decomposes
+    ONCE per solve at `iterCount == 0` and reuses the projector (its `matP` is
+    even function-local, so iterCount > 0 reads a zero matrix — a known
+    upstream LIO-SAM bug vs original LOAM where matP is a member). Hoisting
+    the projector out of the iteration loop was tried and MEASURED SLOWER on
+    v5e (slam_step 50.9 -> 40.4 fps: the extra standalone search phase the
+    hoist needs costs ~5 ms) and less accurate (the iter-0 Hessian — large
+    residuals, small robust weights — projects out directions that later
+    re-evaluations recover), so the hot path keeps per-iteration projection
+    via `inline_projection`. With eigenvalues ascending, the reference's
+    zero-trailing-rows-until-first-keep loop is exactly `keep = w > threshold`.
+
+    Uses `jnp.linalg.eigh`: the unrolled-Jacobi `fit.eigh_small` alternative
+    costs ~0.6 ms per call on v5e (a ~1350-op sequential scalar chain; 30
+    in-loop calls halved slam_step throughput, 50.9 -> 26.8 fps) — prefer
+    `fit.eigh_small` only where the decomposition must be differentiated
+    (the LAPACK VJP has 1/(w_i - w_j) terms that blow up at repeated
+    eigenvalues)."""
+    w, V = jnp.linalg.eigh(H)
+    keep = (w > threshold).astype(H.dtype)
+    P = (V * keep[None, :]) @ V.T
+    return jnp.any(w <= threshold), P
+
+
+def inline_projection(H: jnp.ndarray, threshold: float):
+    """Per-iteration degeneracy projection for loops that keep the guard in
+    the body (the LM registration families, where the guard is an off-by-
+    default extension — the reference's LsqRegistration has none). Returns
+    None (zero cost) when the guard is disabled; prefer hoisting via
+    `degeneracy_projection` in hot always-on paths (scan2map)."""
+    return degeneracy_projection(H, threshold) if threshold > 0 else None
+
+
+def _solve_step(H: jnp.ndarray, b: jnp.ndarray, lam: jnp.ndarray, proj=None) -> jnp.ndarray:
+    """Solve (H + lam*I) d = -b; `proj` is an optional (degenerate, P) pair
+    from `degeneracy_projection` applied to the update (None = guard off)."""
     A = H + lam * jnp.eye(6, dtype=H.dtype)
     d = _chol_solve6(A, -b)
-    if degeneracy_threshold > 0:
-        w, V = jnp.linalg.eigh(A)
-        keep = (w > degeneracy_threshold).astype(H.dtype)
-        d = V @ (keep * (V.T @ d))
+    if proj is not None:
+        degenerate, P = proj
+        d = jnp.where(degenerate, P @ d, d)
     return d
 
 
@@ -100,7 +137,7 @@ def gauss_newton(linearize: Callable, x0: se3.Pose, cfg: SolverConfig = SolverCo
     def body(carry, _):
         x, done, iters, err, Hlast = carry
         H, b, e = linearize(x)
-        d = _solve_step(H, b, jnp.zeros((), H.dtype), cfg.degeneracy_threshold)
+        d = _solve_step(H, b, jnp.zeros((), H.dtype), inline_projection(H, cfg.degeneracy_threshold))
         conv = _converged(d, cfg)
         x_new = se3.retract_left(x, d)
         x = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), x, x_new)
@@ -127,19 +164,24 @@ def levenberg_marquardt(
     cfg: SolverConfig = SolverConfig(),
     error: Optional[Callable] = None,
 ) -> SolveResult:
-    """LM with the reference's rho-ratio lambda schedule, fixed trip counts."""
+    """LM with the reference's rho-ratio lambda schedule, fixed trip counts.
+
+    Degeneracy guard (an extension here — the reference's LM, fast_gicp's
+    LsqRegistration, has none): per-iteration projection of the update, from
+    the current H (see degeneracy_projection); off by default."""
     if error is None:
         error = lambda x: linearize(x)[2]
 
     def outer(carry, _):
         x, lam, nu, done, iters, Hlast = carry
         H, b, e = linearize(x)
+        proj = inline_projection(H, cfg.degeneracy_threshold)
         # lazy lambda init: first iteration uses init_lambda_factor * max diag
         lam = jnp.where(lam < 0, cfg.init_lambda_factor * jnp.max(jnp.abs(jnp.diag(H))), lam)
 
         def inner(carry_in):
             lam, nu, accepted, x_acc, d_acc, k = carry_in
-            d = _solve_step(H, b, lam, cfg.degeneracy_threshold)
+            d = _solve_step(H, b, lam, proj)
             x_try = se3.retract_left(x, d)
             e_try = error(x_try)
             denom = jnp.dot(d, lam * d - b)

@@ -325,7 +325,7 @@ def align(
         pose, done, iters, Hl = carry
         H, b, err = lin(cfg, grid_cfg, target, source, source_cov, source_mask, pose)
         lam = 1e-6 * jnp.max(jnp.abs(jnp.diag(H)))
-        d = solver._solve_step(H, b, lam, scfg.degeneracy_threshold)
+        d = solver._solve_step(H, b, lam, solver.inline_projection(H, scfg.degeneracy_threshold))
         conv = solver._converged(d, scfg)
         pose_new = se3.retract_left(pose, d)
         pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)

@@ -176,6 +176,50 @@ class TestFit:
         V = np.asarray(vecs[0])
         np.testing.assert_allclose(V.T @ V, np.eye(3), atol=1e-5)
 
+    def test_eigh_small_matches_lapack(self, rng):
+        for n in (3, 6):
+            A = rng.normal(size=(n, n))
+            A = A + A.T
+            vals, vecs = fit.eigh_small(jnp.asarray(A, jnp.float32))
+            vals_ref = np.linalg.eigvalsh(A)
+            np.testing.assert_allclose(np.asarray(vals), vals_ref, atol=1e-4)
+            Av = A @ np.asarray(vecs)
+            lv = np.asarray(vals)[None, :] * np.asarray(vecs)
+            np.testing.assert_allclose(Av, lv, atol=5e-3)
+            V = np.asarray(vecs)
+            np.testing.assert_allclose(V.T @ V, np.eye(n), atol=1e-4)
+
+    def test_eigh_small_conditioned_like_loam_hessian(self, rng):
+        # shaped like a degenerate scan2map Hessian: one near-zero direction
+        # and spread ~1e4 (the reference threshold regime, mapOptmization
+        # degeneracy guard)
+        q, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+        w_true = np.array([1e-3, 50.0, 120.0, 3e3, 8e3, 2e4])
+        A = (q * w_true) @ q.T
+        vals, vecs = fit.eigh_small(jnp.asarray(A, jnp.float32))
+        np.testing.assert_allclose(np.asarray(vals), w_true, rtol=2e-3, atol=1e-2)
+        Av = A @ np.asarray(vecs)
+        lv = np.asarray(vals)[None, :] * np.asarray(vecs)
+        np.testing.assert_allclose(Av, lv, atol=np.abs(w_true).max() * 1e-3)
+
+    def test_eigh_small_repeated_and_diagonal(self):
+        vals, vecs = fit.eigh_small(jnp.asarray(np.diag([4.0, 4.0, 1.0, 9.0, 4.0, 0.0]), jnp.float32))
+        np.testing.assert_allclose(np.asarray(vals), [0, 1, 4, 4, 4, 9], atol=1e-5)
+        V = np.asarray(vecs)
+        np.testing.assert_allclose(V.T @ V, np.eye(6), atol=1e-5)
+
+    def test_eigh_small_grad_finite(self, rng):
+        # the degeneracy projection sits inside jacfwd-linearized pipelines;
+        # the backward pass must stay finite even near convergence (tiny
+        # off-diagonals), which the algebraic Jacobi form fails (see docstring)
+        A = rng.normal(size=(6, 6))
+        A = np.asarray(A + A.T, np.float32)
+        A_near = np.diag(np.asarray([1.0, 2, 3, 4, 5, 6], np.float32))
+        A_near[0, 1] = A_near[1, 0] = 1e-12  # inside the VJP overflow window
+        for mat in (A, A_near):
+            g = jax.grad(lambda m: jnp.sum(fit.eigh_small(m)[0]))(jnp.asarray(mat))
+            assert np.all(np.isfinite(np.asarray(g)))
+
     def test_plane_fit_exact(self, rng):
         # SoA layout: (3, K, N)
         pts = rng.normal(size=(5, 3))
