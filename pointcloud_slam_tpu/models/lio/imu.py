@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ...geom import s2
+from ...geom import s2, so3
 from . import eskf
 from . import state as st
 
@@ -38,9 +38,11 @@ class PoseTable(NamedTuple):
     gyro: jnp.ndarray   # (M+1, 3) unbiased body angular rate
 
 
-def propagate(x, P, Q, imu_acc, imu_gyro, imu_dt, imu_offs, imu_mask, acc_scale, prev_acc_w, prev_gyro):
-    """Forward-propagate through the frame's IMU samples (masked), collecting
-    the pose table. imu_* are (M, 3)/(M,). Returns (x_end, P_end, table)."""
+def propagate_sequential(x, P, Q, imu_acc, imu_gyro, imu_dt, imu_offs, imu_mask, acc_scale, prev_acc_w, prev_gyro):
+    """Reference-shaped forward propagation: one eskf.predict per IMU sample
+    under lax.scan (imu_processing.hpp's per-sample kf.predict loop). Kept as
+    the parity oracle for the parallel `propagate` below; ~58 us/sample of
+    sequential small-op latency on v5e made it ~20-30% of the LIO frame."""
     dtype = P.dtype
 
     def step(carry, inp):
@@ -66,6 +68,100 @@ def propagate(x, P, Q, imu_acc, imu_gyro, imu_dt, imu_offs, imu_mask, acc_scale,
         vel=jnp.concatenate([x.vel[None], vels]),
         acc=jnp.concatenate([prev_acc_w[None], accs]),
         gyro=jnp.concatenate([prev_gyro[None], gyros]),
+    )
+    return x_end, P_end, table
+
+
+def propagate(x, P, Q, imu_acc, imu_gyro, imu_dt, imu_offs, imu_mask, acc_scale, prev_acc_w, prev_gyro):
+    """Forward-propagate through the frame's IMU samples (masked), collecting
+    the pose table. imu_* are (M, 3)/(M,). Returns (x_end, P_end, table).
+
+    Parallel-in-time formulation of the per-sample predict chain
+    (imu_processing.hpp:165-285 / esekfom.hpp:269-374), exploiting that
+    within one frame the biases and gravity are constant (predict never
+    changes them), so:
+      * the rotation chain R_i = R_{i-1} Exp(w_i dt_i) is a prefix product
+        of 3x3 matrices  -> log2(M) associative_scan levels,
+      * velocity/position are cumulative sums of batched world accelerations
+        (OLD-state convention: a_i uses R_{i-1}, p_i uses v_{i-1}),
+      * the covariance recursion P_i = F_i P_{i-1} F_i^T + Fw_i Q Fw_i^T is
+        AFFINE in P: composing (A2,B2)o(A1,B1) = (A2 A1, A2 B1 A2^T + B2) is
+        associative -> one associative_scan over batched 23x23 blocks.
+    Masked samples contribute neutral elements (Exp = I, dt = 0, A = I,
+    B = 0), which reproduces the sequential where-freeze exactly for any
+    mask pattern. Measured on v5e: the sequential scan cost ~58 us/sample
+    (~1.17 ms/frame at 20 samples) in per-op dispatch latency; this form is
+    batched ops + two log-depth scans."""
+    dtype = P.dtype
+    M = imu_acc.shape[0]
+    mask_f = imu_mask.astype(dtype)
+    dt = imu_dt * mask_f                                   # (M,) masked
+    acc_b = imu_acc * acc_scale - x.ba[None, :]            # (M, 3)
+    omega = imu_gyro - x.bg[None, :]                       # (M, 3)
+    seg = omega * dt[:, None]
+    eye3 = jnp.eye(3, dtype=dtype)
+    E = jnp.where(imu_mask[:, None, None], jax.vmap(so3.exp)(seg), eye3[None])
+
+    # rotation prefix products: R_i = x.rot @ (E_1 ... E_i)
+    prefix = jax.lax.associative_scan(lambda a, b: a @ b, E)
+    R_i = x.rot[None] @ prefix                             # (M, 3, 3) updated rots
+    R_im1 = jnp.concatenate([x.rot[None], R_i[:-1]], axis=0)  # OLD-state rots
+
+    # velocity / position cumsums (OLD-state convention, see eskf.predict)
+    a_world = jnp.einsum("mij,mj->mi", R_im1, acc_b) + x.grav[None, :]
+    v_i = x.vel[None, :] + jnp.cumsum(a_world * dt[:, None], axis=0)
+    v_im1 = jnp.concatenate([x.vel[None], v_i[:-1]], axis=0)
+    p_i = x.pos[None, :] + jnp.cumsum(v_im1 * dt[:, None], axis=0)
+
+    # table rows use the UPDATED state per sample (masked rows are don't-care:
+    # their imu_offs are LARGE by the host-feed contract, never selected)
+    acc_w = jnp.einsum("mij,mj->mi", R_i, acc_b) + x.grav[None, :]
+
+    x_end = st.NavState(
+        pos=p_i[-1], rot=R_i[-1], ext_R=x.ext_R, ext_t=x.ext_t,
+        vel=v_i[-1], bg=x.bg, ba=x.ba, grav=x.grav,
+    )
+
+    # covariance: batched Fx/Fw blocks (eskf.predict's error-state transition,
+    # built once for all samples), then one affine associative_scan
+    Mx = s2.mx(x.grav, jnp.zeros(2, dtype))                # constant in-frame
+
+    def build_FB(R_old, seg_i, acc_b_i, dt_i):
+        A_rot = so3.A_matrix(-seg_i)
+        Fx = jnp.eye(st.DOF, dtype=dtype)
+        Fx = Fx.at[st.POS:st.POS + 3, st.VEL:st.VEL + 3].set(eye3 * dt_i)
+        Fx = Fx.at[st.ROT:st.ROT + 3, st.ROT:st.ROT + 3].set(so3.exp(-seg_i))
+        Fx = Fx.at[st.ROT:st.ROT + 3, st.BG:st.BG + 3].set(-dt_i * A_rot)
+        Fx = Fx.at[st.VEL:st.VEL + 3, st.ROT:st.ROT + 3].set(-dt_i * R_old @ so3.hat(acc_b_i))
+        Fx = Fx.at[st.VEL:st.VEL + 3, st.BA:st.BA + 3].set(-dt_i * R_old)
+        Fx = Fx.at[st.VEL:st.VEL + 3, st.GRAV:st.GRAV + 2].set(dt_i * Mx)
+        Fw = jnp.zeros((st.DOF, 12), dtype)
+        Fw = Fw.at[st.ROT:st.ROT + 3, 0:3].set(-dt_i * A_rot)
+        Fw = Fw.at[st.VEL:st.VEL + 3, 3:6].set(-dt_i * R_old)
+        Fw = Fw.at[st.BG:st.BG + 3, 6:9].set(dt_i * eye3)
+        Fw = Fw.at[st.BA:st.BA + 3, 9:12].set(dt_i * eye3)
+        return Fx, Fw @ Q @ Fw.T
+
+    A, B = jax.vmap(build_FB)(R_im1, seg, acc_b, dt)
+    A = jnp.where(imu_mask[:, None, None], A, jnp.eye(st.DOF, dtype=dtype)[None])
+    B = jnp.where(imu_mask[:, None, None], B, 0.0)
+
+    def combine(a, b):
+        Aa, Ba = a
+        Ab, Bb = b
+        return Ab @ Aa, Ab @ Ba @ jnp.swapaxes(Ab, -1, -2) + Bb
+
+    Ap, Bp = jax.lax.associative_scan(combine, (A, B))
+    P_end = Ap[-1] @ P @ Ap[-1].T + Bp[-1]
+    P_end = 0.5 * (P_end + P_end.T)
+
+    table = PoseTable(
+        offs=jnp.concatenate([jnp.zeros((1,), dtype), imu_offs]),
+        R=jnp.concatenate([x.rot.reshape(1, 9), R_i.reshape(M, 9)]),
+        pos=jnp.concatenate([x.pos[None], p_i]),
+        vel=jnp.concatenate([x.vel[None], v_i]),
+        acc=jnp.concatenate([prev_acc_w[None], acc_w]),
+        gyro=jnp.concatenate([prev_gyro[None], omega]),
     )
     return x_end, P_end, table
 

@@ -107,6 +107,55 @@ class TestPredict:
         np.testing.assert_allclose(np.asarray(P2), J @ J.T, atol=5e-3)
 
 
+class TestPropagateParallel:
+    """The parallel-in-time propagate (rotation prefix products + affine
+    associative_scan covariance) must match the per-sample eskf.predict chain
+    (propagate_sequential, the reference-shaped oracle) bit-for-bit up to
+    float32 reassociation."""
+
+    def _random_inputs(self, rng, M, n_masked=0):
+        x = st.boxplus(st.identity(), jnp.asarray(rng.normal(scale=0.3, size=23).astype(np.float32)))
+        P = eskf.init_P() * jnp.asarray(rng.uniform(0.5, 2.0), jnp.float32)
+        Q = eskf.process_noise_cov()
+        acc = rng.normal(scale=1.0, size=(M, 3)).astype(np.float32) + np.array([0, 0, s2.GRAVITY], np.float32)
+        gyro = rng.normal(scale=0.5, size=(M, 3)).astype(np.float32)
+        dts = rng.uniform(0.004, 0.006, size=M).astype(np.float32)
+        offs = np.cumsum(dts).astype(np.float32)
+        mask = np.ones(M, bool)
+        if n_masked:
+            mask[-n_masked:] = False
+            offs[-n_masked:] = 1e6  # host-feed contract: LARGE offs for padding
+        return x, P, Q, jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts), jnp.asarray(offs), jnp.asarray(mask)
+
+    @pytest.mark.parametrize("n_masked", [0, 7])
+    def test_matches_sequential(self, rng, n_masked):
+        M = 20
+        x, P, Q, acc, gyro, dts, offs, mask = self._random_inputs(rng, M, n_masked)
+        args = (x, P, Q, acc, gyro, dts, offs, mask, 1.02, jnp.zeros(3), jnp.zeros(3))
+        xs, Ps, ts = imu.propagate_sequential(*args)
+        xp, Pp, tp = imu.propagate(*args)
+        np.testing.assert_allclose(np.asarray(st.boxminus(xp, xs)), np.zeros(23), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Pp), np.asarray(Ps), atol=5e-4)
+        # table rows: compare only valid entries (masked rows are don't-care
+        # by the LARGE-offs contract)
+        valid = np.concatenate([[True], np.asarray(mask)])
+        for name in ("offs", "R", "pos", "vel", "acc", "gyro"):
+            a, b = np.asarray(getattr(tp, name))[valid], np.asarray(getattr(ts, name))[valid]
+            np.testing.assert_allclose(a, b, atol=2e-4, err_msg=name)
+
+    def test_interleaved_mask(self, rng):
+        # neutral-element masking must freeze the state mid-chain, like the
+        # sequential where-freeze, for ANY mask pattern
+        M = 12
+        x, P, Q, acc, gyro, dts, offs, mask = self._random_inputs(rng, M)
+        mask = jnp.asarray(np.array([1, 1, 0, 1, 0, 0, 1, 1, 1, 0, 1, 1], bool))
+        args = (x, P, Q, acc, gyro, dts, offs, mask, 1.0, jnp.zeros(3), jnp.zeros(3))
+        xs, Ps, _ = imu.propagate_sequential(*args)
+        xp, Pp, _ = imu.propagate(*args)
+        np.testing.assert_allclose(np.asarray(st.boxminus(xp, xs)), np.zeros(23), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Pp), np.asarray(Ps), atol=5e-4)
+
+
 class TestUndistort:
     def test_static_undistort_is_identity(self):
         """No motion -> points unchanged."""
