@@ -157,38 +157,47 @@ def scan_to_map(
         ps = pose.apply(surf_pts)
         return _corner_rows(cfg, corner_map, pc, corner_mask), _surf_rows(cfg, surf_map, ps, surf_mask)
 
-    # static search schedule: one corner+surf correspondence pass per
-    # `search_every`-iteration round, unrolled outside the scan (no
-    # data-dependent lax.cond around the search — see register.icp.icp_loop)
-    def body(carry, it):
-        pose, done, iters, cache = carry
+    def _linearize(pose, cache):
         crows, srows = cache
         pc = pose.apply(corner_pts)
         ps = pose.apply(surf_pts)
         Hc, bc, ec, nc = _hb(pc, crows)
         Hs, bs, es, ns = _hb(ps, srows)
-        H = Hc + Hs
-        b = bc + bs
-        # per-iteration projection: measured FASTER on v5e than hoisting
-        # the reference's iterCount==0 projector out of the loop (50.9 vs
-        # 40.4 slam_step fps — the hoisted search phase costs ~5 ms), and
-        # per-iteration re-evaluation also recovers directions the iter-0
-        # H (large residuals -> small robust weights) would project out.
-        d = solver._solve_step(H, b, jnp.zeros((), dtype), solver.inline_projection(H, cfg.degeneracy_eig))
+        return Hc + Hs, bc + bs, nc, ns
+
+    # static search schedule: one corner+surf correspondence pass per
+    # `search_every`-iteration round, unrolled outside the scan (no
+    # data-dependent lax.cond around the search — see register.icp.icp_loop)
+    def body(carry, it):
+        pose, done, iters, cache, proj = carry
+        H, b, _, _ = _linearize(pose, cache)
+        d = solver._solve_step(H, b, jnp.zeros((), dtype), proj)
         conv = solver._converged(d, scfg)
         pose_new = se3.retract_left(pose, d)
         pose = jax.tree.map(lambda a, bb: jnp.where(done, a, bb), pose, pose_new)
         iters = iters + jnp.where(done, 0, 1)
         done = done | conv
-        return (pose, done, iters, cache), None
+        return (pose, done, iters, cache, proj), None
 
+    # Degeneracy projector cadence: recomputed ONCE PER SEARCH ROUND, from
+    # the fresh correspondences, and reused across the round's iterations.
+    # Measured on v5e vs alternatives: per-iteration eigh costs ~0.15 ms x 30
+    # iterations; a single iterCount==0 projector (the reference's literal
+    # cadence, mapOptmization.cpp:1508-1536) needs a standalone search phase
+    # (~5 ms) AND loses accuracy (the iter-0 H — large residuals, small
+    # robust weights — projects out directions later rounds recover). The
+    # per-round form re-evaluates at every warmup round and at each regular
+    # round, where the correspondences (and hence H's conditioning) actually
+    # change.
     def round_body(chunk):
         def rb(carry, _):
-            pose, done, iters, cache = carry
+            pose, done, iters, cache, proj = carry
             cache = search(pose)
+            H0, _, _, _ = _linearize(pose, cache)
+            proj = solver.degeneracy_projection(H0, cfg.degeneracy_eig)
             done = done | (iters >= scfg.max_iterations)
             carry, _ = jax.lax.scan(
-                body, (pose, done, iters, cache), jnp.arange(chunk, dtype=jnp.int32)
+                body, (pose, done, iters, cache, proj), jnp.arange(chunk, dtype=jnp.int32)
             )
             return carry, None
         return rb
@@ -200,20 +209,16 @@ def scan_to_map(
         tuple([jnp.zeros((Nc,), dtype) + zc] * 5 + [jnp.zeros((Nc,), bool) | (zc > 1)]),
         tuple([jnp.zeros((Ns,), dtype) + zs] * 5 + [jnp.zeros((Ns,), bool) | (zs > 1)]),
     )
-    carry = (init_pose, zero_s > 1.0, zero_s.astype(jnp.int32), cache0)
+    proj0 = (zero_s > 1.0, jnp.eye(6, dtype=dtype) + zero_s)
+    carry = (init_pose, zero_s > 1.0, zero_s.astype(jnp.int32), cache0, proj0)
     warmup = min(cfg.warmup_searches, scfg.max_iterations)
     if warmup > 0:
         carry, _ = jax.lax.scan(round_body(1), carry, None, length=warmup)
     n_rounds = -(-(scfg.max_iterations - warmup) // cfg.search_every)
     if n_rounds > 0:
         carry, _ = jax.lax.scan(round_body(cfg.search_every), carry, None, length=n_rounds)
-    (pose, done, iters, cache) = carry
+    (pose, done, iters, cache, proj) = carry
 
-    crows, srows = cache
-    pc = pose.apply(corner_pts)
-    ps = pose.apply(surf_pts)
-    Hc, bc, ec, nc = _hb(pc, crows)
-    Hs, bs, es, ns = _hb(ps, srows)
-    H = Hc + Hs
+    H, b, nc, ns = _linearize(pose, cache)
     eigs = jnp.linalg.eigvalsh(H)
     return Scan2MapResult(pose, done, iters, nc, ns, H, eigs[0] < cfg.degeneracy_eig)

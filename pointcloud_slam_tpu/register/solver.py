@@ -86,14 +86,17 @@ def degeneracy_projection(H: jnp.ndarray, threshold: float):
     Reference note (`mapOptmization.cpp:1508-1536`): the reference decomposes
     ONCE per solve at `iterCount == 0` and reuses the projector (its `matP` is
     even function-local, so iterCount > 0 reads a zero matrix — a known
-    upstream LIO-SAM bug vs original LOAM where matP is a member). Hoisting
-    the projector out of the iteration loop was tried and MEASURED SLOWER on
-    v5e (slam_step 50.9 -> 40.4 fps: the extra standalone search phase the
-    hoist needs costs ~5 ms) and less accurate (the iter-0 Hessian — large
-    residuals, small robust weights — projects out directions that later
-    re-evaluations recover), so the hot path keeps per-iteration projection
-    via `inline_projection`. With eigenvalues ascending, the reference's
-    zero-trailing-rows-until-first-keep loop is exactly `keep = w > threshold`.
+    upstream LIO-SAM bug vs original LOAM where matP is a member). Cadence
+    measurements on v5e (tools/profile_slam.py, baked grids): hoisting a
+    single iter-0 projector fully out of the loop is SLOWER (50.9 -> 40.4
+    slam_step fps — the hoist needs a standalone search phase, ~5 ms) and
+    less accurate (the iter-0 Hessian — large residuals, small robust
+    weights — projects out directions later re-evaluations recover);
+    per-iteration `inline_projection` measures 49.5 fps; recomputing ONCE
+    PER SEARCH ROUND from the round's fresh correspondences (scan2map's
+    form) measures 50.9 fps at identical final error. With eigenvalues
+    ascending, the reference's zero-trailing-rows-until-first-keep loop is
+    exactly `keep = w > threshold`.
 
     Uses `jnp.linalg.eigh`: the unrolled-Jacobi `fit.eigh_small` alternative
     costs ~0.6 ms per call on v5e (a ~1350-op sequential scalar chain; 30
