@@ -65,8 +65,13 @@ def make_cfg(variant):
         rs_loop = False
     elif variant == "no_kf":
         kf_thresh = 1e9
-    elif variant == "s2m_iters10":
-        sol = dataclasses.replace(sol, max_iterations=10)
+    elif variant.startswith("s2m_iters"):
+        sol = dataclasses.replace(sol, max_iterations=int(variant[len("s2m_iters"):]))
+    elif variant.startswith("sched_"):
+        # sched_W_E_I: warmup_searches=W, search_every=E, max_iterations=I
+        w, e, i = (int(x) for x in variant.split("_")[1:])
+        sol = dataclasses.replace(sol, max_iterations=i)
+        base_s2m = dataclasses.replace(base_s2m, warmup_searches=w, search_every=e)
     elif variant == "unbaked":
         grids = dict(corner_grid=base_s2m.corner_grid, surf_grid=base_s2m.surf_grid)
     cfg = slam.SLAMConfig(
