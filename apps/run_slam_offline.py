@@ -136,7 +136,9 @@ def main():
         spts, smask = features.gather_features(img, feats.surf_mask)
         return cpts, cmask, spts, smask
 
-    step = jax.jit(lambda st, c, cm, s, sm: slam.slam_step(cfg, st, c, cm, s, sm))
+    # scan stamps feed the RS loop 30 s time gate (historyKeyframeSearchTimeDiff);
+    # without caller stamps slam_step falls back to frame_idx * nominal_scan_period
+    step = jax.jit(lambda st, c, cm, s, sm, t: slam.slam_step(cfg, st, c, cm, s, sm, time_sec=t))
 
     def fixed(pts, mask, n):
         """Top-n masked points into a fixed-shape cloud."""
@@ -175,7 +177,8 @@ def main():
         for stamp, corners_w, surfs_w, R, t in synthetic_frames(args.synthetic):
             c, cm = take_scan(corners_w, R, t, cfg.n_corner, seed=int(stamp * 10))
             s, sm = take_scan(surfs_w, R, t, cfg.n_surf, seed=100 + int(stamp * 10))
-            state, out = step(state, soa(c), jnp.asarray(cm), soa(s), jnp.asarray(sm))
+            state, out = step(state, soa(c), jnp.asarray(cm), soa(s), jnp.asarray(sm),
+                              jnp.asarray(stamp, jnp.float32))
             times.append(stamp)
             poss.append(np.asarray(out.pose.t))
             rots.append(np.asarray(out.pose.R))
@@ -197,8 +200,9 @@ def main():
             cpts, cmask, spts, smask = front_end(pad, m)
             c, cm = fixed(cpts, cmask, cfg.n_corner)
             s, sm = fixed(spts, smask, cfg.n_surf)
-            state, out = step(state, c, cm, s, sm)
-            times.append(float(k) * 0.1)
+            stamp = float(cloud.get("stamp", float(k) * 0.1))
+            state, out = step(state, c, cm, s, sm, jnp.asarray(stamp, jnp.float32))
+            times.append(stamp)
             poss.append(np.asarray(out.pose.t))
             rots.append(np.asarray(out.pose.R))
             n_loops += int(out.loop_detected)

@@ -57,6 +57,10 @@ class BackendConfig:
     # default information of the bias random-walk between factor
     # (1/sigma^2 of gtsam's biasAccOmegaInt-style walk over one keyframe gap)
     bias_walk_info: float = 1e4
+    # trust region for one GN sweep of optimize(): the largest per-node pose
+    # update (rad | m) a single sweep may apply; the whole step is scaled,
+    # never truncated per-node (see optimize)
+    max_step: float = 2.0
 
 
 class PoseGraph(NamedTuple):
@@ -619,6 +623,9 @@ def optimize_window(
 
         (dx, _, _, _), _ = jax.lax.scan(pcg, (x, r, p, rz), None, length=pcg_iterations)
         dx = jnp.where(active[:, None], dx, 0.0)
+        # same trust region as optimize(): one sweep's pose update is bounded
+        step_max = jnp.max(jnp.abs(dx[:, 0:6]))
+        dx = dx * jnp.minimum(1.0, cfg.max_step / jnp.maximum(step_max, 1e-12))
         R2 = R @ so3.exp(dx[:, 0:3])
         t2 = t + jnp.einsum("kij,kj->ki", R, dx[:, 3:6])
         return (R2, t2, vel + dx[:, 6:9], bg + dx[:, 9:12], ba + dx[:, 12:15]), None
@@ -645,14 +652,20 @@ def residual_stats(cfg: BackendConfig, g: PoseGraph):
     return chi2, jnp.sqrt(chi2 / n_rows.astype(e.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def optimize(cfg: BackendConfig, g: PoseGraph) -> PoseGraph:
+@functools.partial(jax.jit, static_argnames=("cfg", "gn_iterations"))
+def optimize(cfg: BackendConfig, g: PoseGraph, gn_iterations: Optional[int] = None) -> PoseGraph:
     """Batch GN over the whole graph (the correctPoses moment).
 
     Node 0 carries a huge prior (gauge); inactive slots get unit priors so H
     stays non-singular without affecting active nodes. Velocity/bias blocks of
     nodes untouched by any IMU factor are pinned the same way, so odom-only
     graphs reproduce the pose-only solve exactly.
+
+    `gn_iterations` overrides cfg.gn_iterations — the deferred loop-event
+    solve (slam.py) runs ONE relinearize+chain+PCG sweep per frame so a 5k
+    graph never stalls the pipeline for the full solve (the reference spreads
+    this cost the same way: iSAM2 incremental updates on the mapping thread,
+    mapOptmization.cpp:1835-1850).
     """
     KF = cfg.max_keyframes
     dtype = g.t.dtype
@@ -719,6 +732,16 @@ def optimize(cfg: BackendConfig, g: PoseGraph) -> PoseGraph:
 
         (dx, r, p, rz), _ = jax.lax.scan(pcg, (x, r, p, rz), None, length=cfg.pcg_iterations)
         dx = jnp.where(active[:, None], dx, 0.0)
+        # trust region: scale the WHOLE step so the largest per-node pose
+        # update stays under cfg.max_step — an undamped GN sweep on a graph
+        # with conflicting loop/odometry factors can overshoot unboundedly
+        # (observed: 1.6e5 m on a 493-node revisit graph). Direction is
+        # preserved; a large correction is simply delivered over several
+        # sweeps, the role iSAM2's bounded incremental updates play in the
+        # reference (mapOptmization.cpp:1835-1850).
+        step_max = jnp.max(jnp.abs(dx[:, 0:6]))
+        scale = jnp.minimum(1.0, cfg.max_step / jnp.maximum(step_max, 1e-12))
+        dx = dx * scale
         # right-multiplicative retraction per node
         R_new = g.R @ so3.exp(dx[:, 0:3])
         t_new = g.t + jnp.einsum("kij,kj->ki", g.R, dx[:, 3:6])
@@ -727,5 +750,6 @@ def optimize(cfg: BackendConfig, g: PoseGraph) -> PoseGraph:
         ba_new = g.ba + dx[:, 12:15]
         return g._replace(R=R_new, t=t_new, vel=vel_new, bg=bg_new, ba=ba_new), None
 
-    g, _ = jax.lax.scan(gn_step, g, None, length=cfg.gn_iterations)
+    n_iters = cfg.gn_iterations if gn_iterations is None else gn_iterations
+    g, _ = jax.lax.scan(gn_step, g, None, length=n_iters)
     return g

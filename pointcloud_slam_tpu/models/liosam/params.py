@@ -97,7 +97,7 @@ def slam_config_from_params(params: Dict[str, Any]) -> Tuple["slam_mod.SLAMConfi
         local_window=int(_get(p, used, "surroundingKeyframeSize", 16)),
         rs_loop=loop_enabled,
         rs_radius=float(_get(p, used, "historyKeyframeSearchRadius", 10.0)),
-        rs_exclude_recent=int(_get(p, used, "historyKeyframeSearchTimeDiff", 30.0)),
+        rs_time_gate=float(_get(p, used, "historyKeyframeSearchTimeDiff", 30.0)),
         gps_cov_thresh=float(_get(p, used, "gpsCovThreshold", 2.0)),
         use_gps_elevation=bool(_get(p, used, "useGpsElevation", False)),
     )

@@ -21,9 +21,13 @@ Behavioral parity target (the mapOptimization node's main loop):
     reference's laserCloudMapContainer cache is a rebuild too).
 
 TPU design: the keyframe cloud store is a fixed (KF, 3, N) array; the local
-map rebuild gathers the last W keyframes, transforms them by their corrected
-poses, and re-inserts in ONE scatter — no per-keyframe host loop. The loop
-"thread" runs inline at keyframe rate (the reference thread runs at 1 Hz).
+map rebuild gathers the surrounding W keyframes, transforms them by their
+corrected poses, and re-inserts in ONE scatter — no per-keyframe host loop.
+The loop "thread" runs at keyframe rate AND at a fixed frame cadence
+(`loop_detect_every`, the reference's 1 Hz thread), and the full-graph solve
+on loop events is deferred: one GN sweep per frame (`deferred_loop_solve`),
+bounding the per-frame stall the way the reference's loop-thread + iSAM2
+split does (mapOptmization.cpp:592-605,1835-1850,2041).
 """
 
 from __future__ import annotations
@@ -82,6 +86,31 @@ class SLAMConfig:
     # (the iSAM2 update role); the full batch solve runs only on loop events
     window_update: bool = True
     window: int = 32
+    # Deferred loop-event solve (the reference's thread split: loop closures
+    # are absorbed through incremental iSAM2 updates on the mapping thread
+    # while it keeps matching, mapOptmization.cpp:592-605,1835-1850,2041).
+    # On a loop event the full-graph solve is NOT run inline; instead
+    # `loop_solve_sweeps` single-GN sweeps (relinearize + chain-preconditioned
+    # PCG) run one-per-frame over the following frames. Each sweep applies the
+    # latest-keyframe pose delta to the odometry pose and rebuilds the local
+    # maps, so matching stays consistent with the partially-corrected graph.
+    # Per-frame stall is bounded by ONE sweep (~95 ms at 5k keyframes vs
+    # 763 ms for the inline 8-sweep solve).
+    deferred_loop_solve: bool = True
+    loop_solve_sweeps: int = 0         # 0 -> backend.gn_iterations
+    # Fixed-cadence loop detection (the reference's 1 Hz loop thread runs
+    # regardless of keyframe creation, mapOptmization.cpp:592-605): every
+    # `loop_detect_every` frames the detectors re-run against the LATEST
+    # keyframe even when no new keyframe was created — so a robot pausing
+    # inside a revisit (motion gate never trips) still closes the loop once
+    # the RS time gate opens. 0 disables; a keyframe that already produced a
+    # loop factor is not re-closed (the loopIndexContainer role).
+    loop_detect_every: int = 8
+    # nominal scan period [s]: synthesizes the clock (frame_idx * period)
+    # when the caller supplies no timestamps, so the RS loop 30 s time gate
+    # stays meaningful on dense keyframes instead of falling back to the
+    # 30-index gap alone
+    nominal_scan_period: float = 0.1
     # GPS gating (addGPSFactor :1678-1754)
     gps_cov_thresh: float = 2.0        # gpsCovThreshold
     gps_dist: float = 5.0              # minimum spacing between GPS factors [m]
@@ -103,6 +132,9 @@ class SLAMState(NamedTuple):
     last_gps: jnp.ndarray        # (3,) position of the last added GPS factor
     kf_time: jnp.ndarray         # (KF,) keyframe timestamps [s] (RS loop time gate)
     time: jnp.ndarray            # () current time [s]
+    frame_idx: jnp.ndarray       # () int32 frames seen (cadence + synthesized clock)
+    opt_sweeps: jnp.ndarray      # () int32 remaining deferred full-solve GN sweeps
+    loop_closed_kf: jnp.ndarray  # () int32 latest keyframe already holding a loop factor
 
 
 class SLAMOutput(NamedTuple):
@@ -112,6 +144,7 @@ class SLAMOutput(NamedTuple):
     loop_index: jnp.ndarray
     degenerate: jnp.ndarray
     num_surf_matches: jnp.ndarray
+    opt_pending: jnp.ndarray     # () int32 deferred solve sweeps still queued
 
 
 def create_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
@@ -132,6 +165,9 @@ def create_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
         last_gps=jnp.full((3,), 1.0e9, dtype),
         kf_time=jnp.zeros((KF,), dtype),
         time=jnp.full((), -1.0, dtype),  # -1 sentinel: no timestamps supplied
+        frame_idx=jnp.zeros((), jnp.int32),
+        opt_sweeps=jnp.zeros((), jnp.int32),
+        loop_closed_kf=jnp.full((), -1, jnp.int32),
     )
 
 
@@ -182,8 +218,9 @@ def _rs_detect(cfg: SLAMConfig, graph: bk.PoseGraph, kf_time, now, pose_t):
     KF = cfg.backend.max_keyframes
     idx = jnp.arange(KF)
     d2 = jnp.sum((graph.t[:, :2] - pose_t[:2][None, :]) ** 2, axis=1)
-    # the time gate applies only when the caller supplies timestamps
-    # (state.time >= 0); otherwise the index gap alone stands in
+    # slam_step always supplies a clock (caller stamps, or the synthesized
+    # frame_idx * nominal_scan_period fallback); now<0 only for direct
+    # callers that pass the create_state -1 sentinel untouched
     time_ok = (now < 0) | ((now - kf_time) > cfg.rs_time_gate)
     eligible = (idx < (graph.n - cfg.rs_exclude_recent)) & time_ok
     d2 = jnp.where(eligible, d2, 3.0e38)
@@ -253,8 +290,13 @@ def slam_step(
     time_sec: Optional[jnp.ndarray] = None,      # () scan time [s] (RS loop time gate)
 ):
     dtype = surf_pts.dtype
+    # clock: caller timestamps when supplied, else frame_idx * nominal period
+    # (keeps the RS 30 s time gate meaningful on dense keyframes)
     if time_sec is not None:
-        state = state._replace(time=jnp.asarray(time_sec, dtype))
+        now = jnp.asarray(time_sec, dtype)
+    else:
+        now = state.frame_idx.astype(dtype) * jnp.asarray(cfg.nominal_scan_period, dtype)
+    state = state._replace(time=now)
     init_pose = odom_guess if odom_guess is not None else state.pose
     first = state.graph.n == 0
 
@@ -269,6 +311,9 @@ def slam_step(
     is_kf = bk.should_add_keyframe(cfg.backend, state.graph, pose.R, pose.t)
 
     def add_kf(state):
+        """Store the keyframe: node + odometry/IMU/GPS factors + feature/SC
+        stores, then the sliding-window solve (iSAM2 update role) and the
+        local-map roll-in at the window-refined pose."""
         graph = bk.add_keyframe(
             cfg.backend, state.graph, pose.R, pose.t,
             vel_new=vel_guess, pim=pim,
@@ -301,12 +346,52 @@ def slam_step(
             kf_time=state.kf_time.at[k].set(state.time),
         )
 
-        # ---- dual-channel loop closure: BOTH detectors run independently
-        # and can each queue a factor this keyframe (the reference's RS + SC
-        # channels are independent, mapOptmization.cpp:592-605) ----
-        cand_sc = sc.detect(cfg.scancontext, desc, key, state.sc_descs, state.sc_keys, graph.n)
+        if cfg.window_update:
+            graph2 = bk.optimize_window(cfg.backend, state.graph, window=cfg.window)
+            state = state._replace(graph=graph2)
+        # roll the keyframe's features into the local maps at the
+        # (window-refined) pose
+        kf_i = jnp.maximum(state.graph.n - 1, 0)
+        pk = se3.Pose(state.graph.R[kf_i], state.graph.t[kf_i])
+        cmap = ops.insert(cfg.scan2map.corner_grid, state.corner_map, pk.apply(corner_pts), corner_mask)
+        smap = ops.insert(cfg.scan2map.surf_grid, state.surf_map, pk.apply(surf_pts), surf_mask)
+        return state._replace(corner_map=cmap, surf_map=smap), needs_opt_gps
+
+    state, needs_opt_gps = jax.lax.cond(
+        is_kf, add_kf, lambda s: (s, jnp.zeros((), bool)), state
+    )
+
+    # on a keyframe, the pose is the graph node (window-solve refinement
+    # included); between keyframes it is the scan-to-map estimate
+    kf_i = jnp.maximum(state.graph.n - 1, 0)
+    pose = jax.tree.map(
+        lambda a, b: jnp.where(is_kf, b, a), pose, se3.Pose(state.graph.R[kf_i], state.graph.t[kf_i])
+    )
+    state = state._replace(pose=pose)
+
+    # ---- dual-channel loop closure on the LATEST keyframe: at keyframe
+    # creation (the inline path) and at fixed frame cadence even when no
+    # keyframe was created (the reference's 1 Hz loop thread,
+    # mapOptmization.cpp:592-605). Both detectors run independently and can
+    # each queue a factor (RS + SC channels). ----
+    cadence = jnp.zeros((), bool)
+    if cfg.loop_detect_every > 0:
+        cadence = (
+            (~is_kf)
+            & (state.frame_idx % cfg.loop_detect_every == 0)
+            & (state.loop_closed_kf != kf_i)
+        )
+    do_detect = (is_kf | cadence) & (state.graph.n >= 2)
+
+    def detect_and_close(state):
+        g = state.graph
+        k = jnp.maximum(g.n - 1, 0)
+        pose_k = se3.Pose(g.R[k], g.t[k])
+        s_pts, s_mask = state.kf_surf[k], state.kf_surf_mask[k]
+        desc, key = state.sc_descs[k], state.sc_keys[k]
+        cand_sc = sc.detect(cfg.scancontext, desc, key, state.sc_descs, state.sc_keys, g.n)
         if cfg.rs_loop:
-            rs_j, rs_found = _rs_detect(cfg, graph, state.kf_time, state.time, pose.t)
+            rs_j, rs_found = _rs_detect(cfg, g, state.kf_time, state.time, pose_k.t)
         else:
             rs_j, rs_found = jnp.asarray(-1, jnp.int32), jnp.zeros((), bool)
 
@@ -314,7 +399,7 @@ def slam_step(
             def verify(state):
                 j = jnp.maximum(j_cand, 0)
                 pose_rel, fitness, conv = _verify_loop(
-                    cfg, state, j, pose, surf_pts, surf_mask, yaw, method
+                    cfg, state, j, pose_k, s_pts, s_mask, yaw, method
                 )
                 good = (fitness < cfg.loop_fitness_thresh) & conv
 
@@ -323,7 +408,11 @@ def slam_step(
                     graph2 = bk.add_loop(
                         cfg.backend, state.graph, j, k, pose_rel.R, pose_rel.t, info, robust=robust
                     )
-                    return state._replace(graph=graph2, n_loops_found=state.n_loops_found + 1)
+                    return state._replace(
+                        graph=graph2,
+                        n_loops_found=state.n_loops_found + 1,
+                        loop_closed_kf=k,
+                    )
 
                 return jax.lax.cond(good, add, lambda s: s, state), good
             return verify
@@ -341,52 +430,57 @@ def slam_step(
         )
         looped = sc_added | rs_added
         cand_j = jnp.where(sc_added, cand_sc.index, rs_j)
-
-        # ---- optimization: full batch solve + map rebuild on loop events;
-        # cheap sliding-window solve (the iSAM2 update role) otherwise ----
-        def full_opt(state):
-            graph2 = bk.optimize(cfg.backend, state.graph)
-            cmap, smap = _rebuild_maps(cfg, state, graph2, graph2.t[jnp.maximum(graph2.n - 1, 0)])
-            return state._replace(graph=graph2, corner_map=cmap, surf_map=smap)
-
-        def incremental(state):
-            if cfg.window_update:
-                graph2 = bk.optimize_window(cfg.backend, state.graph, window=cfg.window)
-                state = state._replace(graph=graph2)
-            # roll the current keyframe's features into the local maps at the
-            # (window-refined) pose
-            kf_i = jnp.maximum(state.graph.n - 1, 0)
-            pk = se3.Pose(state.graph.R[kf_i], state.graph.t[kf_i])
-            pc = pk.apply(corner_pts)
-            ps = pk.apply(surf_pts)
-            cmap = ops.insert(cfg.scan2map.corner_grid, state.corner_map, pc, corner_mask)
-            smap = ops.insert(cfg.scan2map.surf_grid, state.surf_map, ps, surf_mask)
-            return state._replace(corner_map=cmap, surf_map=smap)
-
-        if cfg.window_update:
-            do_full = looped
-        else:
-            do_full = looped | needs_opt_gps  # no window solve to absorb GPS
-        state = jax.lax.cond(do_full, full_opt, incremental, state)
         return state, looped, jnp.where(looped, cand_j, -1)
 
-    def no_kf(state):
-        return state, jnp.zeros((), bool), jnp.asarray(-1, jnp.int32)
-
-    state, corrected, loop_idx = jax.lax.cond(is_kf, add_kf, no_kf, state)
-    # on a keyframe, the pose is the graph node (window/full solve refinements
-    # included); between keyframes it is the scan-to-map estimate
-    kf_i = jnp.maximum(state.graph.n - 1, 0)
-    pose_corr = jax.tree.map(
-        lambda a, b: jnp.where(is_kf, b, a), pose, se3.Pose(state.graph.R[kf_i], state.graph.t[kf_i])
+    state, looped, loop_idx = jax.lax.cond(
+        do_detect, detect_and_close,
+        lambda s: (s, jnp.zeros((), bool), jnp.asarray(-1, jnp.int32)), state,
     )
-    state = state._replace(pose=pose_corr)
+
+    # ---- full-graph solve (the correctPoses moment): deferred by default —
+    # loop events queue `loop_solve_sweeps` GN sweeps, ONE sweep runs per
+    # frame (keyframe or not), each applying the latest-node pose delta to
+    # the odometry pose and rebuilding the local maps so matching always
+    # sees a self-consistent (graph, map, pose) triple ----
+    trigger = looped
+    if not cfg.window_update:
+        trigger = trigger | needs_opt_gps  # no window solve to absorb GPS
+
+    def solve_and_correct(gn_iters):
+        def f(state):
+            g = state.graph
+            k = jnp.maximum(g.n - 1, 0)
+            R_old, t_old = g.R[k], g.t[k]
+            g2 = bk.optimize(cfg.backend, g, gn_iterations=gn_iters)
+            # left (world-frame) delta of the latest node, applied to the
+            # odometry pose: pose' = (T_k_new T_k_old^-1) pose
+            dR = g2.R[k] @ R_old.T
+            dt = g2.t[k] - dR @ t_old
+            pose2 = se3.Pose(dR @ state.pose.R, dR @ state.pose.t + dt)
+            cmap, smap = _rebuild_maps(cfg, state, g2, g2.t[k])
+            return state._replace(
+                graph=g2, corner_map=cmap, surf_map=smap, pose=pose2,
+                opt_sweeps=jnp.maximum(state.opt_sweeps - 1, 0),
+            )
+        return f
+
+    if cfg.deferred_loop_solve:
+        n_sweeps = cfg.loop_solve_sweeps if cfg.loop_solve_sweeps > 0 else cfg.backend.gn_iterations
+        state = state._replace(
+            opt_sweeps=jnp.where(trigger, jnp.asarray(n_sweeps, jnp.int32), state.opt_sweeps)
+        )
+        state = jax.lax.cond(state.opt_sweeps > 0, solve_and_correct(1), lambda s: s, state)
+    else:
+        state = jax.lax.cond(trigger, solve_and_correct(None), lambda s: s, state)
+
+    state = state._replace(frame_idx=state.frame_idx + 1)
     out = SLAMOutput(
-        pose=pose_corr,
+        pose=state.pose,
         is_keyframe=is_kf,
         loop_detected=loop_idx >= 0,
         loop_index=loop_idx,
         degenerate=res.degenerate,
         num_surf_matches=res.num_surf,
+        opt_pending=state.opt_sweeps,
     )
     return state, out

@@ -114,6 +114,10 @@ def sharded_optimize(mesh: Mesh, cfg: bk.BackendConfig, g: bk.PoseGraph, axis: s
 
             (dx, _, _, _), _ = jax.lax.scan(pcg, (x, r, p, rz), None, length=cfg.pcg_iterations)
             dx = jnp.where(active[:, None], dx, 0.0)
+            # mirror backend.optimize's trust region exactly (dx is already
+            # replicated after the psum'd PCG, so the scale agrees per device)
+            step_max = jnp.max(jnp.abs(dx[:, 0:6]))
+            dx = dx * jnp.minimum(1.0, cfg.max_step / jnp.maximum(step_max, 1e-12))
             return g._replace(
                 R=g.R @ so3.exp(dx[:, 0:3]),
                 t=g.t + jnp.einsum("kij,kj->ki", g.R, dx[:, 3:6]),
