@@ -7,8 +7,9 @@
 // connections), deserializes the three front-end message types, and hands
 // fixed-layout arrays to the caller — pairing with the ingest shim
 // (ingest.cpp) so the whole sensor path from file bytes to padded device
-// frames is native. Python's io/rosbag.py remains the full-featured reader
-// (bz2 chunks); this one covers the uncompressed/chunk-none hot path.
+// frames is native. Covers uncompressed and lz4 chunks (rosbag's common
+// default — native LZ4 frame/block decoder below); bz2 chunks fall back to
+// Python's io/rosbag.py (no libbz2 on this image).
 //
 // Container format (wiki.ros.org/Bags/Format/2.0): "#ROSBAG V2.0\n" magic,
 // then records of <u32 hlen><header><u32 dlen><data>; header fields are
@@ -122,6 +123,80 @@ bool parse_header(const uint8_t* p, size_t n, HeaderView* out) {
   return o == n;
 }
 
+// ---- LZ4 (public block + frame formats; lz4_Block_format.md /
+// lz4_Frame_format.md) — rosbag's default chunk compression on many robots
+// is lz4 (written by roslz4 as an LZ4 frame). Decoded natively so the fast
+// replay path covers real robot bags; checksums (xxh32) are parsed past but
+// not verified here — the Python reader (io/lz4.py) verifies them. ----
+
+bool lz4_block_decompress(const uint8_t* src, size_t n, std::vector<uint8_t>* out) {
+  size_t o = 0;
+  while (o < n) {
+    uint8_t token = src[o++];
+    size_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (o >= n) return false;
+        b = src[o++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (o + lit > n) return false;
+    out->insert(out->end(), src + o, src + o + lit);
+    o += lit;
+    if (o >= n) break;  // final sequence: literals only
+    if (o + 2 > n) return false;
+    size_t offset = src[o] | (static_cast<size_t>(src[o + 1]) << 8);
+    o += 2;
+    if (offset == 0 || offset > out->size()) return false;
+    size_t mlen = (token & 0xF) + 4;
+    if ((token & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (o >= n) return false;
+        b = src[o++];
+        mlen += b;
+      } while (b == 255);
+    }
+    size_t start = out->size() - offset;
+    out->reserve(out->size() + mlen);
+    for (size_t i = 0; i < mlen; ++i) out->push_back((*out)[start + i]);  // overlap-safe
+  }
+  return true;
+}
+
+bool lz4_frame_decompress(const uint8_t* src, size_t n, std::vector<uint8_t>* out) {
+  if (n < 7 || rd_u32(src) != 0x184D2204u) return false;
+  size_t o = 4;
+  uint8_t flg = src[o];
+  if ((flg >> 6) != 0b01) return false;
+  bool block_checksum = flg & 0x10;
+  bool content_size = flg & 0x08;
+  bool content_checksum = flg & 0x04;
+  o += 2;                      // FLG + BD
+  if (content_size) o += 8;    // optional content size
+  o += 1;                      // header-checksum byte (unverified)
+  while (o + 4 <= n) {
+    uint32_t word = rd_u32(src + o);
+    o += 4;
+    if (word == 0) {           // EndMark
+      if (content_checksum) o += 4;
+      return true;
+    }
+    size_t size = word & 0x7FFFFFFFu;
+    if (o + size > n) return false;
+    if (word & 0x80000000u) {
+      out->insert(out->end(), src + o, src + o + size);  // stored block
+    } else if (!lz4_block_decompress(src + o, size, out)) {
+      return false;
+    }
+    o += size;
+    if (block_checksum) o += 4;
+  }
+  return false;  // ran off the end without an EndMark
+}
+
 // parse a record stream (file tail or decompressed chunk payload); records
 // found are appended to bag->msgs / bag->conns; chunk payloads recurse.
 bool scan_records(Bag* bag, const uint8_t* p, size_t n) {
@@ -142,8 +217,17 @@ bool scan_records(Bag* bag, const uint8_t* p, size_t n) {
       std::string c = comp ? std::string(reinterpret_cast<const char*>(comp), fl) : "none";
       if (c == "none") {
         if (!scan_records(bag, data, dl)) return false;
+      } else if (c == "lz4") {
+        // decompressed payload is owned by the bag (Msg::data points into it)
+        bag->chunks.emplace_back();
+        std::vector<uint8_t>& payload = bag->chunks.back();
+        if (!lz4_frame_decompress(data, dl, &payload)) {
+          bag->error = "bad lz4 chunk";
+          return false;
+        }
+        if (!scan_records(bag, payload.data(), payload.size())) return false;
       } else {
-        // bz2/lz4 chunks need the Python reader (no libbz2 on this image)
+        // bz2 chunks need the Python reader (no libbz2 on this image)
         bag->error = "bag chunk compression '" + c + "' not supported by the native reader";
         return false;
       }

@@ -10,10 +10,12 @@ and deserializes the three message types the LIO front-end consumes —
 numpy structured dtype built from the PointField table), and
 `livox_ros_driver/CustomMsg` (`thirdparty/livox_ros_driver/msg/CustomMsg.msg`).
 
-The writer emits valid unchunked bags (header + connection + message
-records); it exists for tests and for `tools/make_dataset.py`-style fixture
-synthesis. The reader handles both unchunked records and chunks with
-compression `none` or `bz2` (lz4 is rejected with a clear error).
+The writer emits valid bags — unchunked by default, or chunked with
+`none`/`bz2`/`lz4` compression (`chunk_compression=`); it exists for tests
+and for `tools/make_dataset.py`-style fixture synthesis. The reader handles
+both unchunked records and chunks with compression `none`, `bz2` or `lz4`
+(the rosbag default on many robots; decoded by the pure-Python LZ4 frame
+codec in `io/lz4.py`).
 
 Container format (http://wiki.ros.org/Bags/Format/2.0): the file starts with
 `#ROSBAG V2.0\n`; each record is `<u32 header_len><header><u32 data_len>
@@ -28,6 +30,8 @@ import struct
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
+
+from . import lz4
 
 MAGIC = b"#ROSBAG V2.0\n"
 
@@ -99,6 +103,8 @@ class BagReader:
             comp = hdr.get(b"compression", b"none").decode()
             if comp == "bz2":
                 data = bz2.decompress(data)
+            elif comp == "lz4":
+                data = lz4.frame_decompress(data)
             elif comp != "none":
                 raise NotImplementedError(f"bag chunk compression '{comp}' not supported")
             for h2, d2 in _iter_records(data):
@@ -127,9 +133,15 @@ class BagReader:
 
 
 class BagWriter:
-    """Minimal unchunked bag writer (tests + dataset-fixture synthesis)."""
+    """Minimal bag writer (tests + dataset-fixture synthesis).
 
-    def __init__(self, path: str):
+    Unchunked by default; `chunk_compression` in {"none", "bz2", "lz4"}
+    groups records into compressed chunk records (the shape rosbag itself
+    writes — lz4 is its common default), flushed at `chunk_size` bytes.
+    """
+
+    def __init__(self, path: str, chunk_compression: Optional[str] = None,
+                 chunk_size: int = 1 << 20):
         self._f = open(path, "wb")
         self._f.write(MAGIC)
         # bag header record, padded to 4096 like rosbag does (index_pos=0
@@ -143,9 +155,38 @@ class BagWriter:
         pad = b" " * (4096 - len(hdr) - 8)
         self._f.write(struct.pack("<I", len(hdr)) + hdr + struct.pack("<I", len(pad)) + pad)
         self._conns: Dict[str, int] = {}
+        if chunk_compression is not None and chunk_compression not in ("none", "bz2", "lz4"):
+            raise ValueError(f"unsupported chunk compression '{chunk_compression}'")
+        self._chunk_comp = chunk_compression
+        self._chunk_size = chunk_size
+        self._chunk_buf = bytearray()
 
     def _record(self, fields: Dict[bytes, bytes], data: bytes):
         hdr = _pack_header(fields)
+        rec = struct.pack("<I", len(hdr)) + hdr + struct.pack("<I", len(data)) + data
+        if self._chunk_comp is None:
+            self._f.write(rec)
+        else:
+            self._chunk_buf += rec
+            if len(self._chunk_buf) >= self._chunk_size:
+                self._flush_chunk()
+
+    def _flush_chunk(self):
+        if not self._chunk_buf:
+            return
+        payload = bytes(self._chunk_buf)
+        self._chunk_buf = bytearray()
+        if self._chunk_comp == "bz2":
+            data = bz2.compress(payload)
+        elif self._chunk_comp == "lz4":
+            data = lz4.frame_compress(payload)
+        else:
+            data = payload
+        hdr = _pack_header({
+            b"op": bytes([OP_CHUNK]),
+            b"compression": self._chunk_comp.encode(),
+            b"size": struct.pack("<I", len(payload)),
+        })
         self._f.write(struct.pack("<I", len(hdr)) + hdr + struct.pack("<I", len(data)) + data)
 
     def _conn(self, topic: str, msg_type: str) -> int:
@@ -182,6 +223,8 @@ class BagWriter:
                    serialize_livox(t, pts, offset_time_ns, reflectivity, tag, line))
 
     def close(self):
+        if self._chunk_comp is not None:
+            self._flush_chunk()
         self._f.close()
 
     def __enter__(self):

@@ -303,8 +303,10 @@ class NativeBagReader:
                 if kind == "imu":   t, acc, gyro = payload
                 else:               stamp, xyz, t_abs, intensity, ring = payload
 
-    Covers uncompressed bags/chunks (the replay hot path); bz2 bags raise
-    with a message pointing at the pure-Python io.rosbag reader.
+    Covers uncompressed and lz4-compressed chunks (the replay hot path —
+    lz4 is rosbag's common default; decoded by the native LZ4 frame/block
+    decoder in bagreader.cpp); bz2 bags raise with a message pointing at
+    the pure-Python io.rosbag reader.
     """
 
     def __init__(self, path: str, lidar_topic: str = "", imu_topic: str = ""):

@@ -11,7 +11,7 @@ import sys
 import numpy as np
 import pytest
 
-from pointcloud_slam_tpu.io import rosbag
+from pointcloud_slam_tpu.io import lz4, rosbag
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -103,7 +103,12 @@ class TestChunkedBags:
                                    b"time": struct.pack("<II", 5, 0)})
         inner += struct.pack("<I", len(hdr)) + hdr + struct.pack("<I", len(raw)) + raw
 
-        payload = bz2.compress(inner) if compression == b"bz2" else inner
+        if compression == b"bz2":
+            payload = bz2.compress(inner)
+        elif compression == b"lz4":
+            payload = lz4.frame_compress(inner)
+        else:
+            payload = inner
         chdr = rosbag._pack_header({b"op": bytes([rosbag.OP_CHUNK]),
                                     b"compression": compression,
                                     b"size": struct.pack("<I", len(inner))})
@@ -112,7 +117,7 @@ class TestChunkedBags:
             f.write(struct.pack("<I", len(chdr)) + chdr
                     + struct.pack("<I", len(payload)) + payload)
 
-    @pytest.mark.parametrize("compression", [b"none", b"bz2"])
+    @pytest.mark.parametrize("compression", [b"none", b"bz2", b"lz4"])
     def test_chunk(self, tmp_path, compression):
         p = str(tmp_path / "c.bag")
         self._chunked_bag(p, compression)
@@ -122,9 +127,58 @@ class TestChunkedBags:
 
     def test_unsupported_compression_raises(self, tmp_path):
         p = str(tmp_path / "c.bag")
-        self._chunked_bag(p, b"lz4")
+        self._chunked_bag(p, b"zstd")
         with pytest.raises(Exception):
             list(rosbag.read_bag(p))
+
+    @pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
+    def test_writer_chunked_roundtrip(self, tmp_path, compression):
+        """BagWriter(chunk_compression=...) bags replay identically to the
+        unchunked form through the Python reader (the rosbag-record shape —
+        lz4 is the rosbag default on many robots)."""
+        rng = np.random.default_rng(11)
+        pts = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
+        offs = (np.linspace(0, 0.1, 200) * 1e9).astype(np.uint32)
+        imu = [(rng.normal(0, 1, 3), rng.normal(0, 0.1, 3)) for _ in range(10)]
+
+        def write(p, **kw):
+            with rosbag.BagWriter(p, **kw) as bw:
+                for k, (acc, gyro) in enumerate(imu):
+                    bw.write_imu("/imu/data", 1.0 + 0.01 * k, acc, gyro)
+                bw.write_livox("/livox/lidar", 1.05, pts, offs)
+
+        p_plain = str(tmp_path / "plain.bag")
+        p_chunk = str(tmp_path / "chunk.bag")
+        write(p_plain)
+        write(p_chunk, chunk_compression=compression, chunk_size=512)
+        plain = list(rosbag.read_bag(p_plain))
+        chunked = list(rosbag.read_bag(p_chunk))
+        assert len(plain) == len(chunked) == 11
+        for (to, ty, t, m), (to2, ty2, t2, m2) in zip(plain, chunked):
+            assert (to, ty, t) == (to2, ty2, t2)
+            for k in m:
+                np.testing.assert_array_equal(np.asarray(m[k]), np.asarray(m2[k]))
+
+    def test_native_reader_lz4_chunks(self, tmp_path):
+        """The C++ reader (bagreader.cpp lz4_frame_decompress) replays an
+        lz4-chunked bag identically to the Python reader."""
+        from pointcloud_slam_tpu import native
+
+        rng = np.random.default_rng(13)
+        p = str(tmp_path / "l.bag")
+        pts = rng.uniform(-5, 5, (300, 3)).astype(np.float32)
+        with rosbag.BagWriter(p, chunk_compression="lz4", chunk_size=1024) as bw:
+            for k in range(12):
+                bw.write_imu("/imu/data", 2.0 + 0.01 * k, rng.normal(0, 1, 3), rng.normal(0, 0.1, 3))
+            bw.write_livox("/livox/lidar", 2.06, pts, (np.linspace(0, 0.1, 300) * 1e9).astype(np.uint32))
+        py = list(rosbag.read_bag(p))
+        with native.NativeBagReader(p) as nb:
+            assert len(nb) == len(py) == 13
+            msgs = list(nb)
+        clouds = [m for k, m in msgs if k == "cloud"]
+        assert len(clouds) == 1
+        _stamp, xyz, _t_abs, _inten, _ring = clouds[0]
+        np.testing.assert_allclose(xyz, pts, atol=1e-6)
 
     def test_not_a_bag(self, tmp_path):
         p = tmp_path / "x.bag"
