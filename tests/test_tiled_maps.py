@@ -5,7 +5,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pointcloud_slam_tpu.maps import occupancy as occ
-from pointcloud_slam_tpu.maps import tiled
+from pointcloud_slam_tpu.maps import octomap_io, tiled
 
 CFG = occ.OccupancyConfig(size=128, resolution=0.25, max_range=10.0, min_z=-1.0, max_z=2.0)
 
@@ -83,3 +83,59 @@ class Test3DOccupancy:
         vox = tiled.occupied_voxels(cfg, m)
         assert len(vox) == 1
         np.testing.assert_allclose(vox[0, :2], [5000.25, 5000.25], atol=0.5)
+
+
+class TestOctomapBt:
+    """`.bt` octree artifact parity (octomap_server/octomap_saver role,
+    src/tool/octomap_server/src/OctomapServer.cpp)."""
+
+    def _map(self):
+        cfg = tiled.VoxelOccConfig(capacity=1 << 16, resolution=0.25, n_free_steps=16)
+        m = tiled.create_3d(cfg)
+        n = 256
+        ys = np.linspace(-2, 2, n)
+        pts = jnp.asarray(np.stack([np.full(n, 5.0), ys, np.full(n, 0.5)], 0).astype(np.float32))
+        for _ in range(3):
+            m = tiled.insert_cloud_3d(cfg, m, pts, jnp.ones(n, bool), jnp.zeros(3))
+        return cfg, m
+
+    def test_roundtrip(self, tmp_path):
+        cfg, m = self._map()
+        p = str(tmp_path / "map.bt")
+        n_nodes = octomap_io.save_bt(p, cfg, m)
+        assert n_nodes > 1
+        res, occ_pts, free_pts = octomap_io.load_bt(p)
+        assert res == cfg.resolution
+        # exact voxel-set roundtrip vs the hash map's own export
+        vox = tiled.occupied_voxels(cfg, m)
+        assert len(occ_pts) == len(vox)
+        a = set(map(tuple, np.round(vox / res - 0.5).astype(int)))
+        b = set(map(tuple, np.round(occ_pts / res - 0.5).astype(int)))
+        assert a == b
+        # known-free space (the sensor->wall corridor) must be present too
+        assert len(free_pts) > 0
+        assert free_pts[:, 0].min() < 4.0, "free leaves must cover the ray path"
+        # header is the octomap wire header
+        head = open(p, "rb").read(80).split(b"\n")
+        assert head[0] == b"# Octomap OcTree binary file"
+
+    def test_pruned_coarse_leaves_expand(self, tmp_path):
+        """A hand-written pruned tree (one occupied leaf at depth 15, i.e. a
+        2x2x2-voxel cube) loads to the expanded voxel set — the shape
+        octomap's own pruning writer produces."""
+        p = str(tmp_path / "pruned.bt")
+        # pairs 1..14 are the nodes at depths 0..13, each marking child 0 as
+        # inner; pair 15 (node at depth 14) marks child 0 as an occupied
+        # LEAF at depth 15 -> side 2^(16-15) = 2 voxels per axis
+        body = bytes([0b11, 0]) * 14 + bytes([0b01, 0])
+        with open(p, "wb") as f:
+            f.write(b"# Octomap OcTree binary file\n")
+            f.write(b"id OcTree\nsize 16\nres 0.5\ndata\n")
+            f.write(body)
+        res, occ_pts, free_pts = octomap_io.load_bt(p)
+        assert res == 0.5
+        assert len(occ_pts) == 8 and len(free_pts) == 0
+        # the 8 voxel keys fill the corner cube {0,1}^3 (key 0 = voxel index
+        # -32768; centers are (key - 32768 + 0.5) * res)
+        k = sorted(map(tuple, np.round(occ_pts / res - 0.5 + (1 << 15)).astype(int)))
+        assert k == sorted({(x, y, z) for x in (0, 1) for y in (0, 1) for z in (0, 1)})
