@@ -23,6 +23,7 @@ Use --only N to run a single config while developing.
 """
 
 import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -179,6 +180,11 @@ def config3_lio(n_frames=200):
         scan_budget=6144, insert_budget=2048,
         max_iterations=3, research_on_converge=False,
     )
+    # reference-semantics parity config (laser_mapping.cc:618 + the library
+    # default esekfom re-search on convergence): 4 iterations, re-search when
+    # converged — the fps cost of exact reference semantics is recorded next
+    # to the tuned number (VERDICT r3 weak #4)
+    cfg_parity = dataclasses.replace(cfg, max_iterations=4, research_on_converge=True)
     BLOCK = 40
     n_pts, n_imu = 20_000, 20
     world = synthetic.make_room_cloud(80_000, seed=3, size=30.0)
@@ -201,31 +207,40 @@ def config3_lio(n_frames=200):
         gt_pos.append(pos)
     stacked = [jax.tree.map(lambda *xs: jnp.stack(xs), *frames[i : i + BLOCK]) for i in range(0, n_frames, BLOCK)]
 
-    @jax.jit
-    def run_block(state, fr_block):
-        def body(s, fr):
-            s, out = lio.lio_step(cfg, s, fr)
-            return s, out.pos
+    def run_cfg(c, blocks):
+        @jax.jit
+        def run_block(state, fr_block):
+            def body(s, fr):
+                s, out = lio.lio_step(c, s, fr)
+                return s, out.pos
 
-        return jax.lax.scan(body, state, fr_block)
+            return jax.lax.scan(body, state, fr_block)
 
-    state = lio.create_state(cfg)
-    # warmup/compile + init frames; a REAL readback, not block_until_ready —
-    # the axon relay is lazy and block_until_ready does not force execution
-    state, ps = run_block(state, stacked[0])
-    est = [np.asarray(ps)]
-    t0 = time.perf_counter()
-    done = 0
-    for blk in stacked[1:]:
-        state, ps = run_block(state, blk)
-        est.append(np.asarray(ps))
-        done += BLOCK
-    dt = (time.perf_counter() - t0) / max(done, 1)
-    est = np.concatenate(est)                      # (n_frames, 3)
+        state = lio.create_state(c)
+        # warmup/compile + init frames; a REAL readback, not block_until_ready —
+        # the axon relay is lazy and block_until_ready does not force execution
+        state, ps = run_block(state, blocks[0])
+        est = [np.asarray(ps)]
+        t0 = time.perf_counter()
+        done = 0
+        for blk in blocks[1:]:
+            state, ps = run_block(state, blk)
+            est.append(np.asarray(ps))
+            done += BLOCK
+        dt = (time.perf_counter() - t0) / max(done, 1)
+        return np.concatenate(est), done, dt
+
+    est, done, dt = run_cfg(cfg, stacked)
     errs = np.linalg.norm(est[5:] - np.asarray(gt_pos)[5:], axis=1)
+    # parity semantics on a shorter slice of the same sequence
+    est_p, done_p, dt_p = run_cfg(cfg_parity, stacked[:3])
+    errs_p = np.linalg.norm(est_p[5:] - np.asarray(gt_pos)[5 : len(est_p)], axis=1)
     return {"lio_fps_20k": round(1.0 / dt, 2), "lio_frames_measured": done,
             "lio_ate_mean_m": round(float(errs.mean()), 3),
-            "lio_ate_final_m": round(float(errs[-1]), 3)}
+            "lio_ate_final_m": round(float(errs[-1]), 3),
+            "lio_fps_20k_parity": round(1.0 / dt_p, 2),
+            "lio_ate_mean_m_parity": round(float(errs_p.mean()), 3),
+            "lio_parity_frames": done_p}
 
 
 def config4_occupancy():
@@ -276,10 +291,19 @@ def config4_occupancy():
 
 
 def config5_backend():
-    """Pose-graph solve at 5k keyframes + 256 loops (BASELINE config 5)."""
+    """Pose-graph solve at 5k keyframes + 256 loops (BASELINE config 5),
+    WITH the IMU factor family populated on every consecutive pair — the
+    product shape (the reference backend always carries ImuFactors,
+    imuPreintegration.cpp:243-438). The vmapped-jacfwd IMU linearization is
+    the most expensive factor family (backend.py:309-326); round-3 measured
+    the odom+loop-only graph and left this unrecorded (VERDICT r3 missing #3).
+    Per-rep times are reported to pin run-to-run variance."""
+    from pointcloud_slam_tpu.geom import so3 as so3_mod
+    from pointcloud_slam_tpu.models.lio import preintegration as pre
     from pointcloud_slam_tpu.models.liosam import backend as bk
 
     KF, L = 5120, 256
+    T = 0.5  # keyframe gap [s] (~1 m spacing at 2 m/s; 200 Hz IMU => 100 samples/pim)
     # chain-preconditioned PCG: iterations scale with the number of loops,
     # not the trajectory length; 8x48 sits on the chi2 plateau (see the
     # residual_stats sweep in ROUND_NOTES) while staying well under the 1 s
@@ -307,44 +331,108 @@ def config5_backend():
         loop_t=jnp.asarray(lt), loop_info=jnp.full((L, 6), 1e3, jnp.float32),
         loop_robust=jnp.ones((L,), bool), n_loops=jnp.asarray(L, jnp.int32),
     )
-    solved = bk.optimize(cfg, g)
-    err0 = float(np.linalg.norm(np.asarray(g.t) - t_true, axis=1).max())
+
+    # ---- IMU factor family on every pair (i-1, i): preintegrated deltas
+    # consistent with the ground-truth trajectory (closed-form — what an
+    # error-free 200 Hz stream integrates to over the gap; the pim CONTENT
+    # does not change solve cost, only the factor family being linearized),
+    # constant-signal bias Jacobians at the standard magnitudes ----
+    grav = np.array([0.0, 0.0, -9.81], np.float32)
+    v_true = np.empty_like(t_true)
+    v_true[:-1] = np.diff(t_true, axis=0) / T
+    v_true[-1] = v_true[-2]
+    dv = np.zeros_like(t_true)
+    dp = np.zeros_like(t_true)
+    dv[1:] = v_true[1:] - v_true[:-1] - grav * T            # R_{i-1}=I
+    dp[1:] = (t_true[1:] - t_true[:-1]) - v_true[:-1] * T - 0.5 * grav * T * T
+    a_body = dv / T + grav                                   # body accel estimate
+    hat_a = jax.vmap(so3_mod.hat)(jnp.asarray(a_body))
+    eyeKF = jnp.asarray(eye)
+    z3 = jnp.zeros((KF, 3), jnp.float32)
+    pims = pre.PreintegratedImu(
+        dR=eyeKF, dv=jnp.asarray(dv), dp=jnp.asarray(dp),
+        dt=jnp.full((KF,), T, jnp.float32),
+        dR_dbg=-T * eyeKF, dv_dbg=-0.5 * T * T * hat_a, dv_dba=-T * eyeKF,
+        dp_dbg=-(T ** 3 / 6.0) * hat_a, dp_dba=-0.5 * T * T * eyeKF,
+        bg0=z3, ba0=z3,
+    )
+    imu_info = np.zeros((KF, 9), np.float32)
+    imu_info[1:] = np.concatenate([np.full(3, 1e6), np.full(3, 1e4), np.full(3, 1e4)]).astype(np.float32)
+    bias_info = np.zeros((KF, 6), np.float32)
+    bias_info[1:] = cfg.bias_walk_info
+    imu_mask = np.zeros(KF, bool)
+    imu_mask[1:] = True
+    g_imu = g._replace(
+        vel=jnp.asarray(v_true + rng.normal(0, 0.02, (KF, 3)).astype(np.float32)),
+        imu_pim=pims, imu_info=jnp.asarray(imu_info),
+        bias_info=jnp.asarray(bias_info), imu_mask=jnp.asarray(imu_mask),
+    )
+
+    def timed_solve(graph, reps=5):
+        solved = bk.optimize(cfg, graph)
+        _ = np.asarray(solved.t[0])  # warmup/compile
+        per_rep = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            solved = bk.optimize(cfg, graph)
+            _ = np.asarray(solved.t[0])
+            per_rep.append((time.perf_counter() - t0) * 1e3)
+        return solved, per_rep
+
+    solved, per_rep = timed_solve(g_imu)
+    err0 = float(np.linalg.norm(np.asarray(g_imu.t) - t_true, axis=1).max())
     err1 = float(np.linalg.norm(np.asarray(solved.t) - t_true, axis=1).max())
-    chi0 = float(np.asarray(bk.residual_stats(cfg, g)[0]))
+    chi0 = float(np.asarray(bk.residual_stats(cfg, g_imu)[0]))
     chi1 = float(np.asarray(bk.residual_stats(cfg, solved)[0]))
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        solved = bk.optimize(cfg, g)
-        _ = np.asarray(solved.t[0])
-    dt = (time.perf_counter() - t0) / reps
-    # the per-keyframe incremental update (iSAM2 update role) at 5k nodes
+    _, per_rep_odom = timed_solve(g)  # odom+loop only (round<=3 comparison shape)
+    # the per-keyframe incremental update (iSAM2 update role) at 5k nodes,
+    # also with the IMU family in-window
     win = jax.jit(lambda g: bk.optimize_window(cfg, g, window=32))
-    _ = np.asarray(win(g).t[0])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        _ = np.asarray(win(g).t[0])
-    dt_win = (time.perf_counter() - t0) / reps
-    return {"backend_5k_solve_ms": round(dt * 1e3, 1), "backend_err_before_m": round(err0, 3),
+    _ = np.asarray(win(g_imu).t[0])
+    win_rep = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(win(g_imu).t[0])
+        win_rep.append((time.perf_counter() - t0) * 1e3)
+    mean = lambda xs: sum(xs) / len(xs)
+    return {"backend_5k_solve_ms": round(mean(per_rep), 1),
+            "backend_5k_solve_ms_per_rep": [round(x, 1) for x in per_rep],
+            "backend_5k_solve_odom_only_ms": round(mean(per_rep_odom), 1),
+            "backend_err_before_m": round(err0, 3),
             "backend_err_after_m": round(err1, 3),
             "backend_chi2_before": round(chi0, 1), "backend_chi2_after": round(chi1, 4),
-            "backend_window_update_ms": round(dt_win * 1e3, 1)}
+            "backend_window_update_ms": round(mean(win_rep), 1),
+            "backend_window_update_ms_per_rep": [round(x, 1) for x in win_rep]}
 
 
 def config6_slam():
-    """Full LIO-SAM slam_step throughput (scan2map + keyframe gating + SC/RS
-    loop machinery + incremental window solve) at product shapes, with the
-    round-3 baked corner/surf local maps. Not a BASELINE config — reported as
-    extra product-shape evidence (the reference's mapOptmization runs at
-    lidar rate ~10 Hz, mapOptmization.cpp:356-405)."""
+    """Full LIO-SAM slam_step throughput at PRODUCT scale: max_keyframes=512
+    (the run_slam_offline default) with a graph pre-populated to 480
+    keyframes, so the costs that grow with KF — _rebuild_maps top-k,
+    SC descriptor matching over (KF, R, S), RS argmin over KF, the window
+    solve's node window — are all paid at the product shape (VERDICT r3
+    weak #2). Two shapes, one compiled program (same cfg/shapes):
+      - fresh: exploring new territory after a 480-keyframe approach; loop
+        detectors run every keyframe but find no eligible candidate,
+      - revisit: continuing a multi-revolution circle over keyframes from a
+        previous pass (>30 s old) — RS verification, loop factors, and the
+        deferred one-sweep-per-frame full solve all engage continuously
+        (the reference's loop thread closes at ~keyframe rate during a long
+        revisit too, mapOptmization.cpp:592-605).
+    Not a BASELINE config — product-shape evidence (the reference's
+    mapOptmization runs at lidar rate ~10 Hz, mapOptmization.cpp:356-405)."""
+    from pointcloud_slam_tpu.geom import se3
     from pointcloud_slam_tpu.models.liosam import backend as bk
     from pointcloud_slam_tpu.models.liosam import scan2map as s2m
+    from pointcloud_slam_tpu.models.liosam import scancontext as scm
     from pointcloud_slam_tpu.models.liosam import slam
 
     n_corner, n_surf, n_frames = 512, 2048, 32
+    KF, PRE = 512, 480
+    KF_DT = 0.5  # prepopulated keyframe time spacing [s]
     corners_w, surfs_w = synthetic.make_feature_world()
     cfg = slam.SLAMConfig(
-        backend=bk.BackendConfig(max_keyframes=128, max_loops=16,
+        backend=bk.BackendConfig(max_keyframes=KF, max_loops=64,
                                  keyframe_dist_thresh=0.3, gn_iterations=3, pcg_iterations=24),
         n_corner=n_corner, n_surf=n_surf,
         scan2map=s2m.Scan2MapConfig(
@@ -356,35 +444,115 @@ def config6_slam():
     def soa(x):
         return jnp.asarray(np.ascontiguousarray(np.asarray(x).T))
 
-    cs, cms, ss, sms, gts = [], [], [], [], []
-    for k in range(n_frames):
-        ang = 0.04 * k
-        t = np.array([6.0 * np.cos(ang) - 6.0, 6.0 * np.sin(ang), 1.0], np.float32)
-        R = np.eye(3, dtype=np.float32)
-        c, cm = synthetic.take_scan(corners_w, R, t, n_corner, seed=k)
-        s, sm = synthetic.take_scan(surfs_w, R, t, n_surf, seed=1000 + k)
-        cs.append(soa(c)); cms.append(jnp.asarray(cm)); ss.append(soa(s)); sms.append(jnp.asarray(sm))
-        gts.append(t)
-    cs, cms, ss, sms = jnp.stack(cs), jnp.stack(cms), jnp.stack(ss), jnp.stack(sms)
+    rng = np.random.default_rng(7)
+    eye3 = np.eye(3, dtype=np.float32)
+    circle = lambda ang: np.array([6.0 * np.cos(ang) - 6.0, 6.0 * np.sin(ang), 1.0], np.float32)
+
+    def scan_at(t, seed):
+        c, cm = synthetic.take_scan(corners_w, eye3, t, n_corner, seed=seed)
+        s, sm = synthetic.take_scan(surfs_w, eye3, t, n_surf, seed=1000 + seed)
+        return c, cm, s, sm
+
+    desc_fn = jax.jit(jax.vmap(lambda p, m: scm.make_descriptor(cfg.scancontext, p, m)))
+    rebuild_jit = jax.jit(lambda state, pt: slam._rebuild_maps(cfg, state, state.graph, pt))
+
+    def populate(state, poses_t, clouds):
+        """Fill the graph + keyframe stores with PRE keyframes along poses_t."""
+        g = state.graph
+        odom_t = np.zeros((KF, 3), np.float32)
+        odom_t[1:PRE] = poses_t[1:] - poses_t[:-1]
+        t_all = np.zeros((KF, 3), np.float32)
+        t_all[:PRE] = poses_t
+        oinfo = np.zeros((KF, 6), np.float32)
+        oinfo[1:PRE] = np.concatenate([np.full(3, 1e6), np.full(3, 1e4)]).astype(np.float32)
+        kf_c = np.zeros((KF, 3, n_corner), np.float32)
+        kf_cm = np.zeros((KF, n_corner), bool)
+        kf_s = np.zeros((KF, 3, n_surf), np.float32)
+        kf_sm = np.zeros((KF, n_surf), bool)
+        for i, (c, cm, s, sm) in enumerate(clouds):
+            kf_c[i], kf_cm[i] = c.T, cm
+            kf_s[i], kf_sm[i] = s.T, sm
+        kf_s_j, kf_sm_j = jnp.asarray(kf_s), jnp.asarray(kf_sm)
+        descs, keys = desc_fn(kf_s_j, kf_sm_j)
+        kf_time = np.zeros((KF,), np.float32)
+        kf_time[:PRE] = np.arange(PRE) * KF_DT
+        g = g._replace(
+            t=jnp.asarray(t_all), n=jnp.asarray(PRE, jnp.int32),
+            odom_t=jnp.asarray(odom_t), odom_info=jnp.asarray(oinfo),
+        )
+        state = state._replace(
+            graph=g, kf_corner=jnp.asarray(kf_c), kf_corner_mask=jnp.asarray(kf_cm),
+            kf_surf=kf_s_j, kf_surf_mask=kf_sm_j,
+            sc_descs=descs, sc_keys=keys,
+            kf_time=jnp.asarray(kf_time),
+            pose=se3.Pose(state.pose.R, jnp.asarray(poses_t[-1])),
+            # frame clock consistent with the keyframe stamps (0.1 s scans)
+            frame_idx=jnp.asarray(int(PRE * KF_DT / cfg.nominal_scan_period), jnp.int32),
+        )
+        # steady-state local maps: the surrounding-keyframe rebuild at the
+        # current pose (exactly what a loop-event rebuild produces)
+        cmap, smap = rebuild_jit(state, state.graph.t[PRE - 1])
+        return state._replace(corner_map=cmap, surf_map=smap)
+
+    # ---- shape A (fresh): straight approach along -y ending at the circle
+    # start; only the last ~24 keyframes are inside the feature world and
+    # carry real scans (the rest are noise clouds far outside RS range) ----
+    step_len = 0.32   # just over the 0.3 m keyframe gate
+    ys = -step_len * np.arange(PRE - 1, -1, -1) - 0.35
+    poses_a = np.stack([np.zeros(PRE), ys, np.ones(PRE)], 1).astype(np.float32)
+    clouds_a = []
+    for i in range(PRE):
+        if ys[i] > -10.0:
+            clouds_a.append(scan_at(poses_a[i], seed=5000 + i))
+        else:
+            c = rng.uniform(-8, 8, (n_corner, 3)).astype(np.float32) + poses_a[i]
+            s = rng.uniform(-8, 8, (n_surf, 3)).astype(np.float32) + poses_a[i]
+            clouds_a.append((c, np.ones(n_corner, bool), s, np.ones(n_surf, bool)))
+    # ---- shape B (revisit): PRE keyframes along ~4.6 revolutions of the
+    # same circle the measured frames continue (all real scans). Keyframe
+    # chord 0.36 m — just over the 0.3 m gate, so the first measured frame
+    # starts within the baked grids' capture basin of the last keyframe ----
+    KF_ANG = 0.04 * 1.5
+    poses_b = np.stack([circle(KF_ANG * i) for i in range(PRE)]).astype(np.float32)
+    clouds_b = [scan_at(poses_b[i], seed=6000 + i) for i in range(PRE)]
+
+    def frames(ang0):
+        cs, cms, ss, sms, gts = [], [], [], [], []
+        for k in range(n_frames):
+            t = circle(ang0 + 0.04 * k)
+            c, cm, s, sm = scan_at(t, seed=k)
+            cs.append(soa(c)); cms.append(jnp.asarray(cm)); ss.append(soa(s)); sms.append(jnp.asarray(sm))
+            gts.append(t)
+        return jnp.stack(cs), jnp.stack(cms), jnp.stack(ss), jnp.stack(sms), np.stack(gts)
 
     @jax.jit
-    def run_all(state):
+    def run_all(state, cs, cms, ss, sms):
         def body(st, inp):
             c, cm, s, sm = inp
             st, out = slam.slam_step(cfg, st, c, cm, s, sm)
-            return st, out.pose.t
+            return st, (out.pose.t, out.loop_detected)
         return jax.lax.scan(body, state, (cs, cms, ss, sms))
 
-    state = slam.create_state(cfg)
-    _, ts = run_all(state)
-    err = float(np.linalg.norm(np.asarray(ts)[-1] - (gts[-1] - gts[0])))
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        _, ts = run_all(state)
-        _ = np.asarray(ts)
-    dt = (time.perf_counter() - t0) / (reps * n_frames)
-    return {"slam_step_fps": round(1.0 / dt, 2), "slam_final_err_m": round(err, 4)}
+    out = {}
+    for name, state0, ang0 in (
+        ("", populate(slam.create_state(cfg), poses_a, clouds_a), 0.0),
+        ("_revisit", populate(slam.create_state(cfg), poses_b, clouds_b), KF_ANG * PRE),
+    ):
+        cs, cms, ss, sms, gts = frames(ang0)
+        st1, (ts, loops) = run_all(state0, cs, cms, ss, sms)
+        err = float(np.linalg.norm(np.asarray(ts)[-1] - gts[-1]))
+        n_loops = int(np.asarray(loops).sum())
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _, (ts, _l) = run_all(state0, cs, cms, ss, sms)
+            _ = np.asarray(ts)
+        dt = (time.perf_counter() - t0) / (reps * n_frames)
+        out[f"slam_step_fps{name}"] = round(1.0 / dt, 2)
+        out[f"slam_final_err_m{name}"] = round(err, 4)
+        out[f"slam_loops{name}"] = n_loops
+    out["slam_step_kf"] = KF
+    return out
 
 
 def main():

@@ -9,8 +9,12 @@ DCE-unreliable on this stack — ROUND_NOTES session-6 fact #3):
   no_window            window_update=False (drops the per-keyframe W=32 solve)
   no_loops             rs_loop=False + SC detect bypassed (keeps keyframe adds)
   no_kf                keyframe_dist_thresh huge: scan_to_map only
-  s2m_iters10          solver 30 -> 10 GN iterations
+  s2m_itersN           solver max_iterations=N (e.g. s2m_iters10)
+  sched_W_E_I          warmup_searches=W, search_every=E, max_iterations=I
+                       (the scan-to-map search/iteration schedule sweep)
   unbaked              unbaked corner/surf grids (the pre-session-6 shape)
+
+Unknown variant names raise (a typo must not silently probe the baseline).
 """
 import argparse
 import sys
@@ -74,6 +78,8 @@ def make_cfg(variant):
         base_s2m = dataclasses.replace(base_s2m, warmup_searches=w, search_every=e)
     elif variant == "unbaked":
         grids = dict(corner_grid=base_s2m.corner_grid, surf_grid=base_s2m.surf_grid)
+    elif variant != "full":
+        raise ValueError(f"unknown variant {variant!r}")
     cfg = slam.SLAMConfig(
         backend=bk.BackendConfig(max_keyframes=128, max_loops=16,
                                  keyframe_dist_thresh=kf_thresh, gn_iterations=3, pcg_iterations=24),
