@@ -106,6 +106,16 @@ class SLAMConfig:
     # the RS time gate opens. 0 disables; a keyframe that already produced a
     # loop factor is not re-closed (the loopIndexContainer role).
     loop_detect_every: int = 8
+    # Closure rate limit: after a loop factor is ACCEPTED, detection pauses
+    # for this many frames (~the reference's loopClosureFrequency=1 Hz loop
+    # thread, mapOptmization.cpp:592-605 — it closes at most ~1/s while the
+    # mapping thread absorbs the correction). Without it a long revisit
+    # closes at keyframe rate (~10 Hz): slightly-off verifications then
+    # accumulate faster than the deferred sweeps re-stabilize the graph and
+    # the trajectory death-spirals (measured in the config-6 revisit bench:
+    # perfect for 13 frames of 1-per-keyframe closures, then divergence).
+    # Also saves the NDT/ICP verification cost during the cooldown.
+    loop_cooldown: int = 8
     # nominal scan period [s]: synthesizes the clock (frame_idx * period)
     # when the caller supplies no timestamps, so the RS loop 30 s time gate
     # stays meaningful on dense keyframes instead of falling back to the
@@ -135,6 +145,7 @@ class SLAMState(NamedTuple):
     frame_idx: jnp.ndarray       # () int32 frames seen (cadence + synthesized clock)
     opt_sweeps: jnp.ndarray      # () int32 remaining deferred full-solve GN sweeps
     loop_closed_kf: jnp.ndarray  # () int32 latest keyframe already holding a loop factor
+    last_loop_frame: jnp.ndarray  # () int32 frame of the last ACCEPTED closure (cooldown)
 
 
 class SLAMOutput(NamedTuple):
@@ -168,6 +179,7 @@ def create_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
         frame_idx=jnp.zeros((), jnp.int32),
         opt_sweeps=jnp.zeros((), jnp.int32),
         loop_closed_kf=jnp.full((), -1, jnp.int32),
+        last_loop_frame=jnp.full((), -(1 << 30), jnp.int32),
     )
 
 
@@ -382,6 +394,8 @@ def slam_step(
             & (state.loop_closed_kf != kf_i)
         )
     do_detect = (is_kf | cadence) & (state.graph.n >= 2)
+    if cfg.loop_cooldown > 0:
+        do_detect &= (state.frame_idx - state.last_loop_frame) >= cfg.loop_cooldown
 
     def detect_and_close(state):
         g = state.graph
@@ -412,6 +426,7 @@ def slam_step(
                         graph=graph2,
                         n_loops_found=state.n_loops_found + 1,
                         loop_closed_kf=k,
+                        last_loop_frame=state.frame_idx,
                     )
 
                 return jax.lax.cond(good, add, lambda s: s, state), good

@@ -121,8 +121,13 @@ def inline_projection(H: jnp.ndarray, threshold: float):
 
 def _solve_step(H: jnp.ndarray, b: jnp.ndarray, lam: jnp.ndarray, proj=None) -> jnp.ndarray:
     """Solve (H + lam*I) d = -b; `proj` is an optional (degenerate, P) pair
-    from `degeneracy_projection` applied to the update (None = guard off)."""
-    A = H + lam * jnp.eye(6, dtype=H.dtype)
+    from `degeneracy_projection` applied to the update (None = guard off).
+
+    The 1e-6 ridge keeps the unrolled Cholesky finite when a frame has no
+    valid correspondences at all (H = b = 0 -> d = 0, a frozen pose) instead
+    of emitting NaN that poisons all downstream state — observed when a
+    diverged revisit left scan_to_map with zero matches."""
+    A = H + (lam + 1e-6) * jnp.eye(6, dtype=H.dtype)
     d = _chol_solve6(A, -b)
     if proj is not None:
         degenerate, P = proj
