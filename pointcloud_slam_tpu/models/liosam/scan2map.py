@@ -142,7 +142,7 @@ def _hb(pw, rows):
     return H, b, jnp.sum(r * r), jnp.sum(ok)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "reduce"))
 def scan_to_map(
     cfg: Scan2MapConfig,
     corner_map: ops.VoxelHashMap,
@@ -152,6 +152,9 @@ def scan_to_map(
     surf_pts: jnp.ndarray,     # (3, Ns)
     surf_mask: jnp.ndarray,
     init_pose: Optional[se3.Pose] = None,
+    reduce=None,               # cross-device sum hook for (H, b, nc, ns) —
+    # the point-axis sharded path (parallel/sharded_scan2map.py) psums the
+    # 6x6/6 reductions over ICI per linearization, like eskf's reduce hook
 ) -> Scan2MapResult:
     if init_pose is None:
         init_pose = se3.identity(surf_pts.dtype)
@@ -170,7 +173,10 @@ def scan_to_map(
         ps = pose.apply(surf_pts)
         Hc, bc, ec, nc = _hb(pc, crows)
         Hs, bs, es, ns = _hb(ps, srows)
-        return Hc + Hs, bc + bs, nc, ns
+        H, b, nc, ns = Hc + Hs, bc + bs, nc, ns
+        if reduce is not None:
+            H, b, nc, ns = reduce((H, b, nc, ns))
+        return H, b, nc, ns
 
     # static search schedule: one corner+surf correspondence pass per
     # `search_every`-iteration round, unrolled outside the scan (no

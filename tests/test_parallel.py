@@ -79,6 +79,41 @@ def test_sharded_lio_update_matches_single_device():
     assert int(iters) == int(ref.iterations)
 
 
+def test_sharded_scan_to_map_matches_single_device():
+    """Point-axis sharded LOAM scan-to-map == single-device solve (the SLAM
+    front end's SP analogue: corner/surf search+fit+rows sharded, 6x6 H / b
+    psum'd at every linearization)."""
+    from pointcloud_slam_tpu.models.liosam import scan2map as s2m
+
+    cfg = s2m.Scan2MapConfig()
+    corners_w, surfs_w = synthetic.make_feature_world(seed=4)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0.5, 0.2, 1.0], np.float32)
+    soa = lambda x: jnp.asarray(np.ascontiguousarray(np.asarray(x).T))
+    # dense map (the matching scans below stay at the sharded sizes)
+    c, cm = synthetic.take_scan(corners_w, R, t, 1024, seed=1)
+    s, sm = synthetic.take_scan(surfs_w, R, t, 8192, seed=2)
+    cmap = ops.insert(cfg.corner_grid, ops.create(cfg.corner_grid, jnp.float32), soa(c + t), jnp.asarray(cm))
+    smap = ops.insert(cfg.surf_grid, ops.create(cfg.surf_grid, jnp.float32), soa(s + t), jnp.asarray(sm))
+    # new scan from a nearby pose, solved from an offset init
+    t2 = t + np.array([0.15, -0.1, 0.03], np.float32)
+    c2, cm2 = synthetic.take_scan(corners_w, R, t2, 256, seed=3)
+    s2_, sm2 = synthetic.take_scan(surfs_w, R, t2, 1024, seed=4)
+    init = se3.Pose(jnp.eye(3), jnp.asarray(t))
+
+    ref = s2m.scan_to_map(cfg, cmap, smap, soa(c2), jnp.asarray(cm2), soa(s2_), jnp.asarray(sm2), init)
+    mesh = parallel.make_mesh(8)
+    sh = parallel.sharded_scan_to_map(mesh, cfg, cmap, smap, soa(c2), jnp.asarray(cm2),
+                                      soa(s2_), jnp.asarray(sm2), init)
+    np.testing.assert_allclose(np.asarray(sh.pose.t), np.asarray(ref.pose.t), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sh.pose.R), np.asarray(ref.pose.R), atol=1e-4)
+    assert int(sh.num_surf) == int(ref.num_surf)
+    assert int(sh.num_corner) == int(ref.num_corner)
+    assert bool(sh.degenerate) == bool(ref.degenerate)
+    # and it actually solved the problem
+    np.testing.assert_allclose(np.asarray(sh.pose.t), t2, atol=5e-2)
+
+
 class TestShardedBackend:
     def test_matches_single_device_solve(self):
         """Factor-sharded PCG must agree with the single-device backend."""
