@@ -61,15 +61,18 @@ def cloud_source(args):
         from pointcloud_slam_tpu.io import converters, rosbag
 
         k = 0
-        for topic, typ, _t, msg in rosbag.read_bag(args.bag_file):
+        for topic, typ, t_rec, msg in rosbag.read_bag(args.bag_file):
             if typ == "sensor_msgs/Imu":
                 continue
             if args.lidar_topic and topic != args.lidar_topic:
                 continue
+            stamp = float(msg.get("stamp", t_rec))
             if typ.endswith("CustomMsg"):
                 msg = converters.livox_custom_to_xyzirt(
                     msg["x"], msg["y"], msg["z"], msg["reflectivity"],
                     msg["line"], msg["offset_time"])
+            # keep the scan time for the RS loop gate (the conversion drops it)
+            msg["stamp"] = stamp
             yield k, msg
             k += 1
     else:
@@ -169,6 +172,7 @@ def main():
             dbg.publish("effect_points", k, pts=np.asarray(state.kf_surf[kk])[:, m])
 
     times, poss, rots = [], [], []
+    t0_stamp = None
     n_loops = 0
     t_start = time.perf_counter()
     if args.synthetic:
@@ -201,7 +205,12 @@ def main():
             c, cm = fixed(cpts, cmask, cfg.n_corner)
             s, sm = fixed(spts, smask, cfg.n_surf)
             stamp = float(cloud.get("stamp", float(k) * 0.1))
-            state, out = step(state, c, cm, s, sm, jnp.asarray(stamp, jnp.float32))
+            if t0_stamp is None:
+                t0_stamp = stamp
+            # rebase in float64 BEFORE the float32 device scalar: ROS epoch
+            # stamps (~1.7e9 s) have a 128 s float32 ULP, which would wreck
+            # the RS 30 s time gate
+            state, out = step(state, c, cm, s, sm, jnp.asarray(stamp - t0_stamp, jnp.float32))
             times.append(stamp)
             poss.append(np.asarray(out.pose.t))
             rots.append(np.asarray(out.pose.R))

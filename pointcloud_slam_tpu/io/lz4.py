@@ -82,7 +82,11 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 # ------------------------------------------------------------------- block
 
 def block_decompress(src: bytes) -> bytes:
-    """Decode one raw LZ4 block (token/literals/match sequences)."""
+    """Decode one raw LZ4 block (token/literals/match sequences).
+
+    Every read is bounds-checked: truncated or corrupt input raises instead
+    of silently returning short data (Python slices truncate quietly — the
+    C++ twin in native/src/bagreader.cpp returns false on the same checks)."""
     out = bytearray()
     n = len(src)
     o = 0
@@ -92,15 +96,21 @@ def block_decompress(src: bytes) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if o >= n:
+                    raise ValueError("lz4 block: truncated literal length")
                 b = src[o]
                 o += 1
                 lit += b
                 if b != 255:
                     break
+        if o + lit > n:
+            raise ValueError("lz4 block: literal run overruns input")
         out += src[o : o + lit]
         o += lit
         if o >= n:
             break  # final sequence carries literals only
+        if o + 2 > n:
+            raise ValueError("lz4 block: truncated match offset")
         offset = src[o] | (src[o + 1] << 8)
         o += 2
         if offset == 0:
@@ -108,6 +118,8 @@ def block_decompress(src: bytes) -> bytes:
         mlen = (token & 0xF) + 4
         if (token & 0xF) == 15:
             while True:
+                if o >= n:
+                    raise ValueError("lz4 block: truncated match length")
                 b = src[o]
                 o += 1
                 mlen += b
@@ -218,7 +230,10 @@ def frame_decompress(src: bytes) -> bytes:
         else:
             out += block_decompress(data)
         if block_checksum:
-            o += 4  # per-block xxh32: skipped (content checksum covers us)
+            (bc,) = struct.unpack_from("<I", src, o)
+            o += 4
+            if bc != xxh32(data):
+                raise ValueError("LZ4 frame: block checksum mismatch")
     if content_checksum:
         (cs,) = struct.unpack_from("<I", src, o)
         if cs != xxh32(bytes(out)):
@@ -229,8 +244,13 @@ def frame_decompress(src: bytes) -> bytes:
 def frame_compress(src: bytes, block_size: int = 1 << 20) -> bytes:
     """Encode an LZ4 frame: independent blocks, content checksum (the same
     descriptor flags roslz4 writes), stored blocks when expansion occurs."""
+    if block_size > (4 << 20):
+        # BD id 7 (the largest defined) declares a 4 MB block maximum;
+        # emitting bigger blocks would produce a spec-violating frame that
+        # real liblz4/roslz4 consumers reject
+        raise ValueError(f"block_size {block_size} exceeds the 4 MB LZ4 frame maximum")
     flg = (0b01 << 6) | 0x20 | 0x04  # version 01, block-independent, content checksum
-    bd = 0x70  # block max size id 7 (4 MB) — any id >= our block_size is valid
+    bd = 0x70  # block max size id 7 (4 MB)
     desc = bytes([flg, bd])
     hc = (xxh32(desc) >> 8) & 0xFF
     out = bytearray(struct.pack("<I", MAGIC) + desc + bytes([hc]))

@@ -299,7 +299,10 @@ def slam_step(
     gps_pos: Optional[jnp.ndarray] = None,       # (3,) GPS position measurement
     gps_cov: Optional[jnp.ndarray] = None,       # (3,) GPS covariance diagonal
     gps_valid: Optional[jnp.ndarray] = None,     # () bool
-    time_sec: Optional[jnp.ndarray] = None,      # () scan time [s] (RS loop time gate)
+    time_sec: Optional[jnp.ndarray] = None,      # () scan time [s] (RS loop time gate).
+    # NB: must be SMALL (relative to the run start) — state arrays are
+    # float32, whose ULP at ROS-epoch magnitudes (~1.7e9 s) is 128 s; rebase
+    # absolute stamps in float64 on the host (run_slam_offline does).
 ):
     dtype = surf_pts.dtype
     # clock: caller timestamps when supplied, else frame_idx * nominal period
