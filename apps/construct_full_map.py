@@ -35,6 +35,10 @@ def main():
     p.add_argument("--floor_labels", default="", help="file with one integer floor label per "
                    "keyframe: one occupancy map per floor (OccupancyServerFromFile :445-595; "
                    "label 0 saves without a suffix, negative labels are skipped)")
+    p.add_argument("--bt", default="", help="also save a 3-D octomap .bt octree at this path "
+                   "(octomap_server/octomap_saver artifact: per-keyframe beam carving from the "
+                   "keyframe origin, OctomapServer::insertCloudCallback role)")
+    p.add_argument("--bt_res", type=float, default=0.2)
     p.add_argument("--feature_maps", default="", help="also build corner/surf feature tile maps "
                    "at this directory (the globalCornerMap/globalSurfMap products that "
                    "new_localization.cpp:309-321 loads): requires Scans/%%06d.pcd + "
@@ -162,6 +166,24 @@ def main():
             out = args.occupancy + ("" if label == 0 else str(label))
             occupancy.save_pgm(cfg, grid, out)
             print(f"occupancy map (floor {label}, {len(idxs)} keyframes) -> {out}.pgm/.yaml")
+
+    if args.bt:
+        from pointcloud_slam_tpu.maps import octomap_io, tiled
+
+        vcfg = tiled.VoxelOccConfig(capacity=1 << 20, resolution=args.bt_res)
+        vmap = tiled.create_3d(vcfg)
+        NP = 1 << 15
+        ins = jax.jit(lambda m, pts, mask, o: tiled.insert_cloud_3d(vcfg, m, pts, mask, o))
+        for k in range(len(frames)):
+            pts = pcdio.read_pcd_xyz(os.path.join(args.keyframe_dir, frames[k]))
+            R, t = poses[k, :, :3], poses[k, :, 3]
+            w = (pts @ R.T + t).astype(np.float32)[:NP]
+            pad = NP - len(w)
+            arr = jnp.asarray(np.concatenate([w, np.zeros((pad, 3), np.float32)]).T)
+            mask = jnp.asarray(np.concatenate([np.ones(len(w), bool), np.zeros(pad, bool)]))
+            vmap = ins(vmap, arr, mask, jnp.asarray(t, jnp.float32))
+        n_nodes = octomap_io.save_bt(args.bt, vcfg, vmap)
+        print(f"octomap .bt ({n_nodes} nodes, res {args.bt_res} m) -> {args.bt}")
 
 
 if __name__ == "__main__":

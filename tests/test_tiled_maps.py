@@ -1,6 +1,8 @@
 """Large-world maps: tiled 2-D occupancy (quadtree extendMap role) and the
 hash-based unbounded 3-D occupancy (octomap_server role)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -118,6 +120,38 @@ class TestOctomapBt:
         # header is the octomap wire header
         head = open(p, "rb").read(80).split(b"\n")
         assert head[0] == b"# Octomap OcTree binary file"
+
+    def test_construct_full_map_bt_output(self, tmp_path):
+        """The product surface: `construct_full_map --bt` builds a .bt octree
+        from keyframe Scans + poses (octomap_saver role) that loads back."""
+        import subprocess
+        import sys
+
+        from pointcloud_slam_tpu.io import pcd as pcdio
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        rng = np.random.default_rng(3)
+        kd = tmp_path / "run"
+        (kd / "Scans").mkdir(parents=True)
+        poses = []
+        for k in range(3):
+            pts = rng.uniform(-2, 2, (400, 3)).astype(np.float32) + [5.0, 0, 1]
+            pcdio.write_pcd(str(kd / "Scans" / f"{k:06d}.pcd"), pts)
+            t = np.array([0.5 * k, 0.0, 0.0])
+            poses.append(np.hstack([np.eye(3), t[:, None]]).reshape(-1))
+        np.savetxt(str(kd / "poses_kitti.txt"), np.stack(poses))
+        bt = str(tmp_path / "map.bt")
+        r = subprocess.run(
+            [sys.executable, os.path.join(root, "apps", "construct_full_map.py"),
+             str(kd), "--out", str(tmp_path / "full.pcd"), "--bt", bt, "--platform", "cpu"],
+            capture_output=True, text=True, timeout=600,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        res, occ_pts, _free = octomap_io.load_bt(bt)
+        assert res == 0.2 and len(occ_pts) > 0
+        # occupied voxels sit where the transformed scans are
+        assert abs(occ_pts[:, 0].mean() - 5.5) < 1.5
 
     def test_pruned_coarse_leaves_expand(self, tmp_path):
         """A hand-written pruned tree (one occupied leaf at depth 15, i.e. a
