@@ -59,8 +59,13 @@ class BackendConfig:
     bias_walk_info: float = 1e4
     # trust region for one GN sweep of optimize(): the largest per-node pose
     # update (rad | m) a single sweep may apply; the whole step is scaled,
-    # never truncated per-node (see optimize)
-    max_step: float = 2.0
+    # never truncated per-node (see optimize). A LOOSE safety net by design:
+    # legitimate global loop corrections can move endpoints tens of meters
+    # in one sweep (the chain preconditioner exists to propagate them;
+    # test_long_chain_loop_correction_converges collapses 18 m in one solve)
+    # while the pathology this guards against moved a node 1.6e5 m
+    # (conflicting loop/odometry factors, see RESULTS round 4).
+    max_step: float = 30.0
 
 
 class PoseGraph(NamedTuple):

@@ -58,15 +58,18 @@ class Scan2MapConfig:
     # while the init guess is still far; the static analogue of the
     # reference's per-iteration re-matching, scan2MapOptimization :1560-1590)
     warmup_searches: int = 3
-    # 10 GN iterations, not the reference's fixed-loop 30: the reference
+    # 6 GN iterations, not the reference's fixed-loop 30: the reference
     # breaks on convergence (scan2MapOptimization :1560-1590 deltaR/deltaT
-    # check) so it rarely pays for >10; our static schedule was paying for
-    # ~20 frozen iterations. Measured on v5e inside the full slam_step
-    # (tools/probe_slam_parts.py s2m_iters10): 19.5 -> ~11.4 ms/keyframe with
-    # IDENTICAL final error (0.004 m). Callers needing the long schedule
-    # (e.g. cold-start localization) override max_iterations explicitly.
+    # check) so it rarely pays for >6-10; our static schedule was paying for
+    # frozen iterations. Measured on v5e inside the full slam_step
+    # (tools/probe_slam_parts.py): 30 iters 19.5 ms -> 10 iters 11.5 ->
+    # 6 iters 8.8 ms/frame with IDENTICAL final error (0.004 m) at every
+    # point; 5/4 iters measure the same but leave no convergence margin, and
+    # cutting searches (sched_* variants) costs accuracy (0.009+). Callers
+    # needing a long schedule (e.g. cold-start localization) override
+    # max_iterations explicitly.
     solver: solver.SolverConfig = dataclasses.field(
-        default_factory=lambda: solver.SolverConfig(max_iterations=10, degeneracy_threshold=100.0)
+        default_factory=lambda: solver.SolverConfig(max_iterations=6, degeneracy_threshold=100.0)
     )
 
 
