@@ -205,6 +205,11 @@ class TestSlamCloudSource:
         assert len(scans) == 2, "IMU must be skipped, both lidar topics kept"
         np.testing.assert_allclose(scans[0][1]["x"], pts[:, 0], atol=1e-6)
         assert "time" in scans[0][1], "CustomMsg conversion must add per-point times"
+        # every scan must carry its stamp (the RS loop time gate input) — the
+        # CustomMsg conversion used to drop it and the synthesized frame
+        # clock silently took over
+        assert abs(scans[0][1]["stamp"] - 1.0) < 1e-6
+        assert abs(scans[1][1]["stamp"] - 1.05) < 1e-6
         a.lidar_topic = "/livox/lidar"
         assert len(list(app.cloud_source(a))) == 1
 
