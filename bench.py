@@ -380,6 +380,15 @@ def config5_backend():
         return solved, per_rep
 
     solved, per_rep = timed_solve(g_imu)
+    # ONE GN sweep at 5k nodes = the max per-frame stall of the deferred
+    # loop-event solve (slam.py solve_and_correct runs exactly one per frame)
+    sweep1 = bk.optimize(cfg, g_imu, gn_iterations=1)
+    _ = np.asarray(sweep1.t[0])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        sweep1 = bk.optimize(cfg, g_imu, gn_iterations=1)
+        _ = np.asarray(sweep1.t[0])
+    sweep1_ms = (time.perf_counter() - t0) / 5 * 1e3
     err0 = float(np.linalg.norm(np.asarray(g_imu.t) - t_true, axis=1).max())
     err1 = float(np.linalg.norm(np.asarray(solved.t) - t_true, axis=1).max())
     chi0 = float(np.asarray(bk.residual_stats(cfg, g_imu)[0]))
@@ -397,6 +406,7 @@ def config5_backend():
     mean = lambda xs: sum(xs) / len(xs)
     return {"backend_5k_solve_ms": round(mean(per_rep), 1),
             "backend_5k_solve_ms_per_rep": [round(x, 1) for x in per_rep],
+            "backend_5k_single_sweep_ms": round(sweep1_ms, 1),
             "backend_5k_solve_odom_only_ms": round(mean(per_rep_odom), 1),
             "backend_err_before_m": round(err0, 3),
             "backend_err_after_m": round(err1, 3),
