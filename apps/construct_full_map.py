@@ -106,7 +106,7 @@ def main():
         fams = {"surf": "%06d.pcd", "corner": "%06d_corner.pcd"}
         os.makedirs(args.feature_maps, exist_ok=True)
         for fam, pat in fams.items():
-            clouds = []
+            fam_clouds = []
             for k in range(len(frames)):
                 path = os.path.join(scans_dir, pat % k)
                 if not os.path.exists(path):
@@ -115,11 +115,11 @@ def main():
                 if len(pts) == 0:
                     continue
                 R, t = poses[k, :, :3], poses[k, :, 3]
-                clouds.append(pts @ R.T + t)
-            if not clouds:
+                fam_clouds.append(pts @ R.T + t)
+            if not fam_clouds:
                 print(f"feature maps: no {fam} artifacts found, skipped")
                 continue
-            w = np.concatenate(clouds).astype(np.float32)
+            w = np.concatenate(fam_clouds).astype(np.float32)
             T = args.tile
             tx = np.floor(w[:, 0] / T).astype(np.int64)
             ty = np.floor(w[:, 1] / T).astype(np.int64)
@@ -156,13 +156,16 @@ def main():
         for label, idxs in sorted(groups.items()):
             grid = occupancy.create(cfg)
             for k in idxs:
-                pts = pcdio.read_pcd_xyz(os.path.join(args.keyframe_dir, frames[k]))
-                R, t = poses[k, :, :3], poses[k, :, 3]
-                w = (pts @ R.T + t).astype(np.float32)[:NP]
-                pad = NP - len(w)
-                arr = jnp.asarray(np.concatenate([w, np.zeros((pad, 3), np.float32)]).T)
-                mask = jnp.asarray(np.concatenate([np.ones(len(w), bool), np.zeros(pad, bool)]))
-                grid = step(grid, arr, mask, jnp.asarray(t[:2], jnp.float32))
+                # reuse the world-frame cloud loaded above; chunked so large
+                # scans are never truncated
+                w = clouds[k].astype(np.float32)
+                xy = jnp.asarray(poses[k, :, 3][:2], jnp.float32)
+                for i in range(0, len(w), NP):
+                    chunk = w[i : i + NP]
+                    pad = NP - len(chunk)
+                    arr = jnp.asarray(np.concatenate([chunk, np.zeros((pad, 3), np.float32)]).T)
+                    mask = jnp.asarray(np.concatenate([np.ones(len(chunk), bool), np.zeros(pad, bool)]))
+                    grid = step(grid, arr, mask, xy)
             out = args.occupancy + ("" if label == 0 else str(label))
             occupancy.save_pgm(cfg, grid, out)
             print(f"occupancy map (floor {label}, {len(idxs)} keyframes) -> {out}.pgm/.yaml")
@@ -175,13 +178,16 @@ def main():
         NP = 1 << 15
         ins = jax.jit(lambda m, pts, mask, o: tiled.insert_cloud_3d(vcfg, m, pts, mask, o))
         for k in range(len(frames)):
-            pts = pcdio.read_pcd_xyz(os.path.join(args.keyframe_dir, frames[k]))
-            R, t = poses[k, :, :3], poses[k, :, 3]
-            w = (pts @ R.T + t).astype(np.float32)[:NP]
-            pad = NP - len(w)
-            arr = jnp.asarray(np.concatenate([w, np.zeros((pad, 3), np.float32)]).T)
-            mask = jnp.asarray(np.concatenate([np.ones(len(w), bool), np.zeros(pad, bool)]))
-            vmap = ins(vmap, arr, mask, jnp.asarray(t, jnp.float32))
+            # the world-frame keyframe cloud is already loaded above; insert
+            # in fixed-shape chunks so large scans are never truncated
+            w = clouds[k].astype(np.float32)
+            origin = jnp.asarray(poses[k, :, 3], jnp.float32)
+            for i in range(0, len(w), NP):
+                chunk = w[i : i + NP]
+                pad = NP - len(chunk)
+                arr = jnp.asarray(np.concatenate([chunk, np.zeros((pad, 3), np.float32)]).T)
+                mask = jnp.asarray(np.concatenate([np.ones(len(chunk), bool), np.zeros(pad, bool)]))
+                vmap = ins(vmap, arr, mask, origin)
         n_nodes = octomap_io.save_bt(args.bt, vcfg, vmap)
         print(f"octomap .bt ({n_nodes} nodes, res {args.bt_res} m) -> {args.bt}")
 

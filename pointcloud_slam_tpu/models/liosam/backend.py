@@ -66,6 +66,12 @@ class BackendConfig:
     # while the pathology this guards against moved a node 1.6e5 m
     # (conflicting loop/odometry factors, see RESULTS round 4).
     max_step: float = 30.0
+    # the per-keyframe WINDOW solve gets its own, tighter bound: it only
+    # refines the recent odometry tail (legit corrections are sub-meter) and
+    # its output feeds the local-map roll-in scan-to-map matches against
+    # next frame — a single bad factor touching the window must not displace
+    # recent nodes tens of meters before the deferred full solve weighs in
+    window_max_step: float = 5.0
 
 
 class PoseGraph(NamedTuple):
@@ -628,9 +634,9 @@ def optimize_window(
 
         (dx, _, _, _), _ = jax.lax.scan(pcg, (x, r, p, rz), None, length=pcg_iterations)
         dx = jnp.where(active[:, None], dx, 0.0)
-        # same trust region as optimize(): one sweep's pose update is bounded
+        # window trust region (tighter than optimize()'s — see config note)
         step_max = jnp.max(jnp.abs(dx[:, 0:6]))
-        dx = dx * jnp.minimum(1.0, cfg.max_step / jnp.maximum(step_max, 1e-12))
+        dx = dx * jnp.minimum(1.0, cfg.window_max_step / jnp.maximum(step_max, 1e-12))
         R2 = R @ so3.exp(dx[:, 0:3])
         t2 = t + jnp.einsum("kij,kj->ki", R, dx[:, 3:6])
         return (R2, t2, vel + dx[:, 6:9], bg + dx[:, 9:12], ba + dx[:, 12:15]), None

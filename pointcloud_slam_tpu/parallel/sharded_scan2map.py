@@ -17,6 +17,8 @@ agreement on a CPU mesh.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -28,15 +30,11 @@ except ImportError:  # pragma: no cover
 from ..models.liosam import scan2map as s2m
 
 
-def sharded_scan_to_map(mesh: Mesh, cfg: s2m.Scan2MapConfig, corner_map, surf_map,
-                        corner_pts, corner_mask, surf_pts, surf_mask,
-                        init_pose, axis: str = "sp") -> s2m.Scan2MapResult:
-    """LOAM scan-to-map with both feature point axes sharded on `axis`.
-
-    corner_pts (3, Nc) / surf_pts (3, Ns): Nc and Ns must be divisible by
-    mesh.shape[axis]. Returns the same Scan2MapResult the in-pipeline solve
-    produces (num_corner/num_surf are global counts).
-    """
+@functools.lru_cache(maxsize=32)
+def _jitted(mesh: Mesh, cfg: s2m.Scan2MapConfig, axis: str):
+    """One jit instance per (mesh, cfg, axis): this is a PER-FRAME kernel, so
+    rebuilding the shard_map closure per call would retrace/recompile every
+    invocation. The cached jit retraces only on new input shapes."""
 
     def run(cmap, smap, cp, cm, sp_, sm, pose):
         return s2m.scan_to_map(
@@ -51,5 +49,17 @@ def sharded_scan_to_map(mesh: Mesh, cfg: s2m.Scan2MapConfig, corner_map, surf_ma
         out_specs=P(),
         check_vma=False,
     )
-    return jax.jit(fn)(corner_map, surf_map, corner_pts, corner_mask,
-                       surf_pts, surf_mask, init_pose)
+    return jax.jit(fn)
+
+
+def sharded_scan_to_map(mesh: Mesh, cfg: s2m.Scan2MapConfig, corner_map, surf_map,
+                        corner_pts, corner_mask, surf_pts, surf_mask,
+                        init_pose, axis: str = "sp") -> s2m.Scan2MapResult:
+    """LOAM scan-to-map with both feature point axes sharded on `axis`.
+
+    corner_pts (3, Nc) / surf_pts (3, Ns): Nc and Ns must be divisible by
+    mesh.shape[axis]. Returns the same Scan2MapResult the in-pipeline solve
+    produces (num_corner/num_surf are global counts).
+    """
+    return _jitted(mesh, cfg, axis)(corner_map, surf_map, corner_pts, corner_mask,
+                                    surf_pts, surf_mask, init_pose)

@@ -173,3 +173,15 @@ class TestOctomapBt:
         # -32768; centers are (key - 32768 + 0.5) * res)
         k = sorted(map(tuple, np.round(occ_pts / res - 0.5 + (1 << 15)).astype(int)))
         assert k == sorted({(x, y, z) for x in (0, 1) for y in (0, 1) for z in (0, 1)})
+        # oversize handling: an expansion cap below the leaf raises by
+        # default, skips on request, and the box-level iterator is lossless
+        import pytest
+        with pytest.raises(ValueError, match="max_expand_side"):
+            octomap_io.load_bt(p, max_expand_side=1)
+        _, occ2, _ = octomap_io.load_bt(p, max_expand_side=1, oversize="skip")
+        assert len(occ2) == 0
+        leaves = list(octomap_io.iter_bt_leaves(p))
+        assert len(leaves) == 1
+        center, side_m, occupied = leaves[0]
+        assert occupied and side_m == 2 * res
+        np.testing.assert_allclose(center, ((np.zeros(3) - (1 << 15)) + 1.0) * res)
