@@ -141,7 +141,23 @@ def main():
 
     # scan stamps feed the RS loop 30 s time gate (historyKeyframeSearchTimeDiff);
     # without caller stamps slam_step falls back to frame_idx * nominal_scan_period
-    step = jax.jit(lambda st, c, cm, s, sm, t: slam.slam_step(cfg, st, c, cm, s, sm, time_sec=t))
+    def make_step(c):
+        return jax.jit(lambda st, cp, cm, sp, sm, t: slam.slam_step(c, st, cp, cm, sp, sm, time_sec=t))
+
+    step = make_step(cfg)
+
+    def maybe_grow(cfg, state, step):
+        """Unbounded trajectories: double the keyframe/loop stores before they
+        saturate (the reference's disk-backed unbounded keyframe store role,
+        mapOptmization.cpp:249-263,1868-1880). One recompile per doubling."""
+        if slam.needs_growth(cfg, state):
+            old_kf = cfg.backend.max_keyframes
+            cfg, state = slam.grow_state(cfg, state)
+            logger.info("keyframe store grown %d -> %d (loops %d -> %d)",
+                        old_kf, cfg.backend.max_keyframes,
+                        cfg.backend.max_loops // 2, cfg.backend.max_loops)
+            step = make_step(cfg)
+        return cfg, state, step
 
     def fixed(pts, mask, n):
         """Top-n masked points into a fixed-shape cloud."""
@@ -183,6 +199,7 @@ def main():
             s, sm = take_scan(surfs_w, R, t, cfg.n_surf, seed=100 + int(stamp * 10))
             state, out = step(state, soa(c), jnp.asarray(cm), soa(s), jnp.asarray(sm),
                               jnp.asarray(stamp, jnp.float32))
+            cfg, state, step = maybe_grow(cfg, state, step)
             times.append(stamp)
             poss.append(np.asarray(out.pose.t))
             rots.append(np.asarray(out.pose.R))
@@ -211,6 +228,7 @@ def main():
             # stamps (~1.7e9 s) have a 128 s float32 ULP, which would wreck
             # the RS 30 s time gate
             state, out = step(state, c, cm, s, sm, jnp.asarray(stamp - t0_stamp, jnp.float32))
+            cfg, state, step = maybe_grow(cfg, state, step)
             times.append(stamp)
             poss.append(np.asarray(out.pose.t))
             rots.append(np.asarray(out.pose.R))

@@ -126,8 +126,40 @@ bool parse_header(const uint8_t* p, size_t n, HeaderView* out) {
 // ---- LZ4 (public block + frame formats; lz4_Block_format.md /
 // lz4_Frame_format.md) — rosbag's default chunk compression on many robots
 // is lz4 (written by roslz4 as an LZ4 frame). Decoded natively so the fast
-// replay path covers real robot bags; checksums (xxh32) are parsed past but
-// not verified here — the Python reader (io/lz4.py) verifies them. ----
+// replay path covers real robot bags; header/block/content checksums (xxh32,
+// public spec) are VERIFIED, matching the Python reader's strictness
+// (io/lz4.py) — a truncated-but-well-formed chunk must not decode to
+// silently wrong bytes on the default fast path. ----
+
+inline uint32_t xxh_rotl(uint32_t x, int r) { return (x << r) | (x >> (32 - r)); }
+
+// xxHash32 (public spec, github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md)
+uint32_t xxh32(const uint8_t* p, size_t n, uint32_t seed = 0) {
+  const uint32_t P1 = 2654435761u, P2 = 2246822519u, P3 = 3266489917u,
+                 P4 = 668265263u, P5 = 374761393u;
+  const uint8_t* end = p + n;
+  uint32_t h;
+  if (n >= 16) {
+    uint32_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    const uint8_t* limit = end - 16;
+    do {
+      v1 = xxh_rotl(v1 + rd_u32(p) * P2, 13) * P1; p += 4;
+      v2 = xxh_rotl(v2 + rd_u32(p) * P2, 13) * P1; p += 4;
+      v3 = xxh_rotl(v3 + rd_u32(p) * P2, 13) * P1; p += 4;
+      v4 = xxh_rotl(v4 + rd_u32(p) * P2, 13) * P1; p += 4;
+    } while (p <= limit);
+    h = xxh_rotl(v1, 1) + xxh_rotl(v2, 7) + xxh_rotl(v3, 12) + xxh_rotl(v4, 18);
+  } else {
+    h = seed + P5;
+  }
+  h += static_cast<uint32_t>(n);
+  while (p + 4 <= end) { h = xxh_rotl(h + rd_u32(p) * P3, 17) * P4; p += 4; }
+  while (p < end) { h = xxh_rotl(h + (*p++) * P5, 11) * P1; }
+  h ^= h >> 15; h *= P2;
+  h ^= h >> 13; h *= P3;
+  h ^= h >> 16;
+  return h;
+}
 
 bool lz4_block_decompress(const uint8_t* src, size_t n, std::vector<uint8_t>* out) {
   size_t o = 0;
@@ -171,17 +203,26 @@ bool lz4_frame_decompress(const uint8_t* src, size_t n, std::vector<uint8_t>* ou
   size_t o = 4;
   uint8_t flg = src[o];
   if ((flg >> 6) != 0b01) return false;
+  // DictID (flg & 1) would shift every following offset by 4; roslz4 never
+  // sets it, so reject rather than risk mis-framed reads.
+  if (flg & 0x01) return false;
   bool block_checksum = flg & 0x10;
   bool content_size = flg & 0x08;
   bool content_checksum = flg & 0x04;
-  o += 2;                      // FLG + BD
-  if (content_size) o += 8;    // optional content size
-  o += 1;                      // header-checksum byte (unverified)
+  size_t desc_len = 2 + (content_size ? 8 : 0);
+  if (4 + desc_len + 1 > n) return false;
+  uint8_t expect_hc = static_cast<uint8_t>(xxh32(src + 4, desc_len) >> 8);
+  o += desc_len;
+  if (src[o] != expect_hc) return false;  // header checksum
+  o += 1;
   while (o + 4 <= n) {
     uint32_t word = rd_u32(src + o);
     o += 4;
     if (word == 0) {           // EndMark
-      if (content_checksum) o += 4;
+      if (content_checksum) {
+        if (o + 4 > n) return false;
+        if (rd_u32(src + o) != xxh32(out->data(), out->size())) return false;
+      }
       return true;
     }
     size_t size = word & 0x7FFFFFFFu;
@@ -190,6 +231,10 @@ bool lz4_frame_decompress(const uint8_t* src, size_t n, std::vector<uint8_t>* ou
       out->insert(out->end(), src + o, src + o + size);  // stored block
     } else if (!lz4_block_decompress(src + o, size, out)) {
       return false;
+    }
+    if (block_checksum) {
+      if (o + size + 4 > n) return false;
+      if (rd_u32(src + o + size) != xxh32(src + o, size)) return false;
     }
     o += size;
     if (block_checksum) o += 4;

@@ -209,6 +209,8 @@ def frame_decompress(src: bytes) -> bytes:
     del bd  # block max size: informational only for decoding
     o += 2
     desc_len = 2 + (8 if content_size else 0)
+    if 4 + desc_len + 1 > len(src):
+        raise ValueError("truncated LZ4 frame (header)")
     expect_hc = (xxh32(src[4 : 4 + desc_len]) >> 8) & 0xFF
     if content_size:
         o += 8
@@ -218,11 +220,15 @@ def frame_decompress(src: bytes) -> bytes:
         raise ValueError("LZ4 frame: header checksum mismatch")
     out = bytearray()
     while True:
+        if o + 4 > len(src):
+            raise ValueError("truncated LZ4 frame (block header)")
         (word,) = struct.unpack_from("<I", src, o)
         o += 4
         if word == 0:  # EndMark
             break
         size = word & 0x7FFFFFFF
+        if o + size > len(src):
+            raise ValueError("truncated LZ4 frame (block data)")
         data = src[o : o + size]
         o += size
         if word & 0x80000000:
@@ -230,11 +236,15 @@ def frame_decompress(src: bytes) -> bytes:
         else:
             out += block_decompress(data)
         if block_checksum:
+            if o + 4 > len(src):
+                raise ValueError("truncated LZ4 frame (block checksum)")
             (bc,) = struct.unpack_from("<I", src, o)
             o += 4
             if bc != xxh32(data):
                 raise ValueError("LZ4 frame: block checksum mismatch")
     if content_checksum:
+        if o + 4 > len(src):
+            raise ValueError("truncated LZ4 frame (content checksum)")
         (cs,) = struct.unpack_from("<I", src, o)
         if cs != xxh32(bytes(out)):
             raise ValueError("LZ4 frame: content checksum mismatch")

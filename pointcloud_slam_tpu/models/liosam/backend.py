@@ -139,13 +139,51 @@ def create(cfg: BackendConfig, dtype=jnp.float32, gravity: float = 9.81) -> Pose
     )
 
 
+def grow(cfg: BackendConfig, g: PoseGraph,
+         max_keyframes: Optional[int] = None,
+         max_loops: Optional[int] = None):
+    """HOST-side capacity growth: re-pad every graph array to a larger
+    `max_keyframes` / `max_loops` (defaults: double each). Returns
+    `(new_cfg, new_graph)`; the new config is a different static jit key, so
+    each growth costs one recompile — geometric doubling makes that O(log)
+    compiles over an unbounded trajectory. This is the TPU-native counterpart
+    of the reference's unbounded keyframe story (the gtsam graph just grows
+    and keyframe clouds stream to disk, mapOptmization.cpp:249-263,1868-1880):
+    trajectory length is bounded by device memory, not a compile-time
+    constant. Existing nodes/factors are bit-identical after growth; padded
+    slots carry `create`'s inert values (identity rotations, zero
+    information)."""
+    KF_new = cfg.max_keyframes * 2 if max_keyframes is None else max_keyframes
+    L_new = cfg.max_loops * 2 if max_loops is None else max_loops
+    if KF_new < cfg.max_keyframes or L_new < cfg.max_loops:
+        raise ValueError("grow() cannot shrink the graph")
+    dtype = g.t.dtype
+    new_cfg = dataclasses.replace(cfg, max_keyframes=KF_new, max_loops=L_new)
+    blank = create(new_cfg, dtype, gravity=float(-g.grav[2]))
+
+    def pad(old, new):
+        if old.shape == new.shape:   # scalars (n, n_loops) and grav
+            return old
+        return new.at[tuple(slice(0, s) for s in old.shape)].set(old)
+
+    return new_cfg, jax.tree.map(pad, g, blank)
+
+
 def should_add_keyframe(cfg: BackendConfig, g: PoseGraph, R_new, t_new):
-    """Motion gating vs the last keyframe (saveKeyFramesAndFactor :1637)."""
+    """Motion gating vs the last keyframe (saveKeyFramesAndFactor :1637).
+
+    Also gates on store capacity: at `n == max_keyframes` no further keyframe
+    is accepted (add_keyframe would be a no-op anyway, and slam_step must not
+    overwrite the last slot's feature/SC stores). The reference's keyframe
+    store is unbounded (per-keyframe disk writes + a growing gtsam graph,
+    mapOptmization.cpp:249-263,1868-1880); the equivalent here is HOST-side
+    geometric growth — see `grow` / `slam.grow_state` — which apps invoke
+    before this gate ever trips."""
     last = jnp.maximum(g.n - 1, 0)
     dR = so3.boxminus(R_new, g.R[last])
     dt = t_new - g.t[last]
     move = (jnp.max(jnp.abs(dR)) > cfg.keyframe_angle_thresh) | (jnp.linalg.norm(dt) > cfg.keyframe_dist_thresh)
-    return move | (g.n == 0)
+    return (move | (g.n == 0)) & (g.n < cfg.max_keyframes)
 
 
 def add_keyframe(
@@ -164,13 +202,23 @@ def add_keyframe(
     When `pim` is given (the IMU preintegration over the gap since the last
     keyframe), an IMU factor + bias random-walk factor are attached to this
     slot — the imuPreintegration node's graph contribution
-    (imuPreintegration.cpp:243-438)."""
+    (imuPreintegration.cpp:243-438).
+
+    Saturation is a strict NO-OP: at `n == max_keyframes` every write targets
+    the out-of-range slot KF and is dropped, and `n` does not change — the
+    graph stays exactly consistent (previously the new node clamp-overwrote
+    slot KF-1 while its odometry factor had been computed against the value
+    being overwritten, silently corrupting the graph). Capacity itself is a
+    host concern: call `grow` to extend the store (unbounded-trajectory role
+    of the reference's disk store, mapOptmization.cpp:249-263,1868-1880)."""
     dtype = g.t.dtype
+    KF = cfg.max_keyframes
     if odom_info_diag is None:
         # reference odometryNoise variances: rot 1e-6, trans 1e-4
         # (mapOptmization.cpp:1666) -> information 1e6 / 1e4
         odom_info_diag = jnp.concatenate([jnp.full((3,), 1e6, dtype), jnp.full((3,), 1e4, dtype)])
-    i = jnp.minimum(g.n, cfg.max_keyframes - 1)
+    full = g.n >= KF
+    i = jnp.where(full, KF, g.n)  # out-of-range when full -> scatters drop
     last = jnp.maximum(g.n - 1, 0)
     relR = jnp.swapaxes(g.R[last], -1, -2) @ R_new
     relt = jnp.einsum("ij,j->i", jnp.swapaxes(g.R[last], -1, -2), t_new - g.t[last])
@@ -178,15 +226,15 @@ def add_keyframe(
     if vel_new is None:
         vel_new = jnp.zeros(3, dtype)
     g = g._replace(
-        R=g.R.at[i].set(R_new),
-        t=g.t.at[i].set(t_new),
-        vel=g.vel.at[i].set(vel_new),
-        bg=g.bg.at[i].set(g.bg[last]),
-        ba=g.ba.at[i].set(g.ba[last]),
-        odom_R=g.odom_R.at[i].set(jnp.where(first, jnp.eye(3, dtype=dtype), relR)),
-        odom_t=g.odom_t.at[i].set(jnp.where(first, jnp.zeros(3, dtype), relt)),
-        odom_info=g.odom_info.at[i].set(jnp.where(first, jnp.zeros(6, dtype), odom_info_diag)),
-        n=jnp.minimum(g.n + 1, cfg.max_keyframes),
+        R=g.R.at[i].set(R_new, mode="drop"),
+        t=g.t.at[i].set(t_new, mode="drop"),
+        vel=g.vel.at[i].set(vel_new, mode="drop"),
+        bg=g.bg.at[i].set(g.bg[last], mode="drop"),
+        ba=g.ba.at[i].set(g.ba[last], mode="drop"),
+        odom_R=g.odom_R.at[i].set(jnp.where(first, jnp.eye(3, dtype=dtype), relR), mode="drop"),
+        odom_t=g.odom_t.at[i].set(jnp.where(first, jnp.zeros(3, dtype), relt), mode="drop"),
+        odom_info=g.odom_info.at[i].set(jnp.where(first, jnp.zeros(6, dtype), odom_info_diag), mode="drop"),
+        n=jnp.minimum(g.n + 1, KF),
     )
     if pim is not None:
         if imu_info_diag is None:
@@ -197,24 +245,30 @@ def add_keyframe(
             bias_info_diag = jnp.full((6,), cfg.bias_walk_info, dtype)
         has = ~first
         g = g._replace(
-            imu_pim=jax.tree.map(lambda a, b: a.at[i].set(b), g.imu_pim, pim),
-            imu_info=g.imu_info.at[i].set(jnp.where(has, imu_info_diag, 0.0)),
-            imu_mask=g.imu_mask.at[i].set(has),
-            bias_info=g.bias_info.at[i].set(jnp.where(has, bias_info_diag, 0.0)),
+            imu_pim=jax.tree.map(lambda a, b: a.at[i].set(b, mode="drop"), g.imu_pim, pim),
+            imu_info=g.imu_info.at[i].set(jnp.where(has, imu_info_diag, 0.0), mode="drop"),
+            imu_mask=g.imu_mask.at[i].set(has, mode="drop"),
+            bias_info=g.bias_info.at[i].set(jnp.where(has, bias_info_diag, 0.0), mode="drop"),
         )
     return g
 
 
 def add_loop(cfg: BackendConfig, g: PoseGraph, i, j, relR, relt, info_diag, robust=True) -> PoseGraph:
-    k = jnp.minimum(g.n_loops, cfg.max_loops - 1)
+    """Append a loop-closure between factor i -> j (addLoopFactor :1757).
+
+    Saturation is a strict no-op (previously the last slot was silently
+    re-overwritten forever); extend capacity host-side with `grow`."""
+    L = cfg.max_loops
+    full = g.n_loops >= L
+    k = jnp.where(full, L, g.n_loops)  # out-of-range when full -> drop
     return g._replace(
-        loop_i=g.loop_i.at[k].set(i),
-        loop_j=g.loop_j.at[k].set(j),
-        loop_R=g.loop_R.at[k].set(relR),
-        loop_t=g.loop_t.at[k].set(relt),
-        loop_info=g.loop_info.at[k].set(info_diag),
-        loop_robust=g.loop_robust.at[k].set(jnp.asarray(robust, bool)),
-        n_loops=jnp.minimum(g.n_loops + 1, cfg.max_loops),
+        loop_i=g.loop_i.at[k].set(i, mode="drop"),
+        loop_j=g.loop_j.at[k].set(j, mode="drop"),
+        loop_R=g.loop_R.at[k].set(relR, mode="drop"),
+        loop_t=g.loop_t.at[k].set(relt, mode="drop"),
+        loop_info=g.loop_info.at[k].set(info_diag, mode="drop"),
+        loop_robust=g.loop_robust.at[k].set(jnp.asarray(robust, bool), mode="drop"),
+        n_loops=jnp.minimum(g.n_loops + 1, L),
     )
 
 

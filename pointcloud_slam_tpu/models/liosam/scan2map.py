@@ -157,7 +157,11 @@ def scan_to_map(
     init_pose: Optional[se3.Pose] = None,
     reduce=None,               # cross-device sum hook for (H, b, nc, ns) —
     # the point-axis sharded path (parallel/sharded_scan2map.py) psums the
-    # 6x6/6 reductions over ICI per linearization, like eskf's reduce hook
+    # 6x6/6 reductions over ICI per linearization, like eskf's reduce hook.
+    # NB `reduce` is a STATIC argname: pass a stable (module-level or cached)
+    # callable — a fresh lambda per call would retrace and recompile every
+    # time. parallel.sharded_scan_to_map is the sanctioned entry point; it
+    # lru-caches the jitted wrapper per (mesh, cfg, axis).
 ) -> Scan2MapResult:
     if init_pose is None:
         init_pose = se3.identity(surf_pts.dtype)

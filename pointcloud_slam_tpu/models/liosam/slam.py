@@ -183,6 +183,49 @@ def create_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
     )
 
 
+def grow_state(cfg: SLAMConfig, state: SLAMState,
+               max_keyframes: Optional[int] = None,
+               max_loops: Optional[int] = None):
+    """HOST-side keyframe-store growth (see backend.grow): re-pads the pose
+    graph AND the per-keyframe feature/SC/time stores to a larger capacity.
+    Returns `(new_cfg, new_state)` — the new config is a fresh jit key (one
+    recompile per doubling). Apps call this when `needs_growth` trips, giving
+    the unbounded-trajectory behavior of the reference's disk-backed keyframe
+    store (mapOptmization.cpp:249-263,1868-1880) with memory as the only
+    bound. Existing keyframes are bit-identical after growth."""
+    new_bk_cfg, new_graph = bk.grow(cfg.backend, state.graph, max_keyframes, max_loops)
+    new_cfg = dataclasses.replace(cfg, backend=new_bk_cfg)
+    KF = new_bk_cfg.max_keyframes
+
+    def pad_to(old, KF_new):
+        new_shape = (KF_new,) + old.shape[1:]
+        blank = jnp.zeros(new_shape, old.dtype)
+        return blank.at[: old.shape[0]].set(old)
+
+    return new_cfg, state._replace(
+        graph=new_graph,
+        kf_corner=pad_to(state.kf_corner, KF),
+        kf_corner_mask=pad_to(state.kf_corner_mask, KF),
+        kf_surf=pad_to(state.kf_surf, KF),
+        kf_surf_mask=pad_to(state.kf_surf_mask, KF),
+        sc_descs=pad_to(state.sc_descs, KF),
+        sc_keys=pad_to(state.sc_keys, KF),
+        kf_time=pad_to(state.kf_time, KF),
+    )
+
+
+def needs_growth(cfg: SLAMConfig, state: SLAMState, margin: int = 4) -> bool:
+    """HOST-side capacity check (one scalar readback): True when the keyframe
+    or loop store is within `margin` of saturation. At saturation the stores
+    freeze safely (no corruption — add_keyframe/add_loop are strict no-ops),
+    so growth ahead of the margin keeps mapping truly unbounded."""
+    g = state.graph
+    return bool(
+        (int(g.n) >= cfg.backend.max_keyframes - margin)
+        | (int(g.n_loops) >= cfg.backend.max_loops - margin)
+    )
+
+
 def _rebuild_maps(cfg: SLAMConfig, state: SLAMState, graph: bk.PoseGraph, pose_t):
     """Local maps from the surrounding-keyframe set at their (corrected) poses.
 
@@ -192,8 +235,8 @@ def _rebuild_maps(cfg: SLAMConfig, state: SLAMState, graph: bk.PoseGraph, pose_t
     role) — so on a revisit the OLD spatially-near keyframes re-enter the
     local map with their corrected geometry. One transform + one insert per
     feature family."""
-    W = cfg.local_window
     KF = cfg.backend.max_keyframes
+    W = min(cfg.local_window, KF)
     n = graph.n
     all_idx = jnp.arange(KF)
     act_all = all_idx < n

@@ -180,6 +180,31 @@ class TestChunkedBags:
         _stamp, xyz, _t_abs, _inten, _ring = clouds[0]
         np.testing.assert_allclose(xyz, pts, atol=1e-6)
 
+    def test_native_reader_rejects_corrupt_lz4_chunk(self, tmp_path):
+        """A flipped byte inside an lz4 chunk must be REJECTED by the native
+        fast path (bagreader.cpp xxh32 verification — round-4 weak #6: it
+        used to skip checksums, so a truncated-but-well-formed chunk decoded
+        to silently wrong bytes), with the same strictness as the Python
+        reader (io/lz4.py)."""
+        from pointcloud_slam_tpu import native
+
+        rng = np.random.default_rng(7)
+        p = tmp_path / "c.bag"
+        pts = rng.uniform(-5, 5, (300, 3)).astype(np.float32)
+        with rosbag.BagWriter(str(p), chunk_compression="lz4", chunk_size=1024) as bw:
+            bw.write_livox("/livox/lidar", 2.0, pts,
+                           (np.linspace(0, 0.1, 300) * 1e9).astype(np.uint32))
+        raw = bytearray(p.read_bytes())
+        magic = raw.find(b"\x04\x22\x4d\x18")
+        assert magic > 0, "lz4 frame magic not found"
+        raw[magic + 24] ^= 0x40  # flip a bit inside the first block's data
+        bad = tmp_path / "bad.bag"
+        bad.write_bytes(bytes(raw))
+        with pytest.raises(ValueError):
+            native.NativeBagReader(str(bad))
+        with pytest.raises(ValueError):
+            list(rosbag.read_bag(str(bad)))
+
     def test_not_a_bag(self, tmp_path):
         p = tmp_path / "x.bag"
         p.write_bytes(b"PCDv7\n")

@@ -121,6 +121,21 @@ class TestOctomapBt:
         head = open(p, "rb").read(80).split(b"\n")
         assert head[0] == b"# Octomap OcTree binary file"
 
+    def test_empty_map_writes_size_zero(self, tmp_path):
+        """An empty map must serialize as octomap's empty-tree convention
+        (size 0, no body) — 'size 1' with a zero-byte body would make
+        octomap's readBinary hit EOF reading the root's child bytes."""
+        cfg = tiled.VoxelOccConfig(capacity=1 << 10, resolution=0.1)
+        m = tiled.create_3d(cfg)
+        p = str(tmp_path / "empty.bt")
+        n_nodes = octomap_io.save_bt(p, cfg, m)
+        assert n_nodes == 0
+        raw = open(p, "rb").read()
+        assert b"size 0\n" in raw
+        assert raw.endswith(b"data\n")  # no body bytes after the header
+        res, occ_pts, free_pts = octomap_io.load_bt(p)
+        assert len(occ_pts) == 0 and len(free_pts) == 0
+
     def test_construct_full_map_bt_output(self, tmp_path):
         """The product surface: `construct_full_map --bt` builds a .bt octree
         from keyframe Scans + poses (octomap_saver role) that loads back."""
