@@ -186,26 +186,31 @@ def config3_lio(n_frames=200):
     # to the tuned number (VERDICT r3 weak #4)
     cfg_parity = dataclasses.replace(cfg, max_iterations=4, research_on_converge=True)
     BLOCK = 40
-    n_pts, n_imu = 20_000, 20
+    n_imu = 20
     world = synthetic.make_room_cloud(80_000, seed=3, size=30.0)
     traj = synthetic.make_imu_trajectory(n_frames + 1, imu_per_frame=n_imu, frame_dt=0.1, seed=3)
 
-    rng = np.random.default_rng(3)
-    frames, gt_pos = [], []
-    for f in range(n_frames):
-        i0, i1 = f * n_imu, (f + 1) * n_imu
-        pos, R = traj["pos"][i1], traj["R"][i1]
-        rel = (world - pos) @ R  # world -> body at scan end
-        r = np.linalg.norm(rel, axis=1)
-        vis = rel[(r < 30.0) & (r > 0.3)]
-        pts = vis[rng.choice(len(vis), size=min(n_pts, len(vis)), replace=False)].astype(np.float32)
-        imu_t = (traj["t"][i0 + 1 : i1 + 1] - traj["t"][i0]).astype(np.float32)
-        frames.append(feed.make_frame(
-            pts, np.full(len(pts), 0.1, np.float32), traj["acc"][i0:i1], traj["gyro"][i0:i1],
-            imu_t, n_points=n_pts, n_imu=n_imu, prev_imu_t=0.0,
-        ))
-        gt_pos.append(pos)
-    stacked = [jax.tree.map(lambda *xs: jnp.stack(xs), *frames[i : i + BLOCK]) for i in range(0, n_frames, BLOCK)]
+    def build_frames(n_pts, nf):
+        rng = np.random.default_rng(3)
+        frames, gt_pos = [], []
+        for f in range(nf):
+            i0, i1 = f * n_imu, (f + 1) * n_imu
+            pos, R = traj["pos"][i1], traj["R"][i1]
+            rel = (world - pos) @ R  # world -> body at scan end
+            r = np.linalg.norm(rel, axis=1)
+            vis = rel[(r < 30.0) & (r > 0.3)]
+            pts = vis[rng.choice(len(vis), size=min(n_pts, len(vis)), replace=False)].astype(np.float32)
+            imu_t = (traj["t"][i0 + 1 : i1 + 1] - traj["t"][i0]).astype(np.float32)
+            frames.append(feed.make_frame(
+                pts, np.full(len(pts), 0.1, np.float32), traj["acc"][i0:i1], traj["gyro"][i0:i1],
+                imu_t, n_points=n_pts, n_imu=n_imu, prev_imu_t=0.0,
+            ))
+            gt_pos.append(pos)
+        stacked = [jax.tree.map(lambda *xs: jnp.stack(xs), *frames[i : i + BLOCK])
+                   for i in range(0, nf, BLOCK)]
+        return stacked, gt_pos
+
+    stacked, gt_pos = build_frames(20_000, n_frames)
 
     def run_cfg(c, blocks):
         @jax.jit
@@ -235,7 +240,18 @@ def config3_lio(n_frames=200):
     # parity semantics on a shorter slice of the same sequence
     est_p, done_p, dt_p = run_cfg(cfg_parity, stacked[:3])
     errs_p = np.linalg.norm(est_p[5:] - np.asarray(gt_pos)[5 : len(est_p)], axis=1)
+    # ---- frame-size envelope (VERDICT r4 next #7): the reference's
+    # 198-1820 fps spread is mostly frame-size driven (plot_time_usage.py:8);
+    # same tuned config, same trajectory, smaller scans ----
+    envelope = {}
+    for n_e in (10_000, 5_000):
+        stacked_e, gt_e = build_frames(n_e, 120)
+        est_e, done_e, dt_e = run_cfg(cfg, stacked_e)
+        errs_e = np.linalg.norm(est_e[5:] - np.asarray(gt_e)[5:], axis=1)
+        envelope[f"lio_fps_{n_e // 1000}k"] = round(1.0 / dt_e, 2)
+        envelope[f"lio_ate_mean_m_{n_e // 1000}k"] = round(float(errs_e.mean()), 3)
     return {"lio_fps_20k": round(1.0 / dt, 2), "lio_frames_measured": done,
+            **envelope,
             "lio_ate_mean_m": round(float(errs.mean()), 3),
             "lio_ate_final_m": round(float(errs[-1]), 3),
             "lio_fps_20k_parity": round(1.0 / dt_p, 2),
@@ -290,25 +306,26 @@ def config4_occupancy():
     return {"occupancy_scans_per_sec": round(1.0 / dt, 2), "pcd2map_ms_60k": round(pcd2map_ms, 1)}
 
 
-def config5_backend():
-    """Pose-graph solve at 5k keyframes + 256 loops (BASELINE config 5),
-    WITH the IMU factor family populated on every consecutive pair — the
-    product shape (the reference backend always carries ImuFactors,
-    imuPreintegration.cpp:243-438). The vmapped-jacfwd IMU linearization is
-    the most expensive factor family (backend.py:309-326); round-3 measured
-    the odom+loop-only graph and left this unrecorded (VERDICT r3 missing #3).
-    Per-rep times are reported to pin run-to-run variance."""
+def build_backend_graph(KF=5120, L=256, gn_iterations=8, pcg_iterations=48,
+                        loop_noise=0.0):
+    """The config-5 product-shape graph: drifted double-ring trajectory, odom
+    factors on every pair, ring-crossing loops, IMU factor family on every
+    pair. Returns (cfg, g_odom_loop, g_imu, t_true). Shared by config5 and
+    tools/probe_backend_sweep.py. `loop_noise` perturbs the loop measurements
+    so the graph's optimum has genuinely nonzero chi2 (needed for a
+    meaningful chi2 ratio vs the f64 oracle — a noise-free graph's oracle
+    optimum is ~1e-12 and any f32 floor inflates the ratio arbitrarily)."""
     from pointcloud_slam_tpu.geom import so3 as so3_mod
     from pointcloud_slam_tpu.models.lio import preintegration as pre
     from pointcloud_slam_tpu.models.liosam import backend as bk
 
-    KF, L = 5120, 256
     T = 0.5  # keyframe gap [s] (~1 m spacing at 2 m/s; 200 Hz IMU => 100 samples/pim)
     # chain-preconditioned PCG: iterations scale with the number of loops,
     # not the trajectory length; 8x48 sits on the chi2 plateau (see the
     # residual_stats sweep in ROUND_NOTES) while staying well under the 1 s
     # full-solve budget
-    cfg = bk.BackendConfig(max_keyframes=KF, max_loops=L, gn_iterations=8, pcg_iterations=48)
+    cfg = bk.BackendConfig(max_keyframes=KF, max_loops=L,
+                           gn_iterations=gn_iterations, pcg_iterations=pcg_iterations)
     rng = np.random.default_rng(0)
     # circular trajectory with drift; loops close ring-distance neighbors
     ang = np.linspace(0, 4 * np.pi, KF)
@@ -322,6 +339,8 @@ def config5_backend():
     li = rng.integers(0, half - 1, L).astype(np.int32)
     lj = (li + half).astype(np.int32)
     lt = (t_true[lj] - t_true[li]).astype(np.float32)
+    if loop_noise:
+        lt = lt + rng.normal(0, loop_noise, lt.shape).astype(np.float32)
     g = g._replace(
         R=jnp.asarray(eye), t=jnp.asarray(t_est), n=jnp.asarray(KF, jnp.int32),
         odom_R=jnp.asarray(eye), odom_t=jnp.asarray(odom_t),
@@ -367,6 +386,20 @@ def config5_backend():
         imu_pim=pims, imu_info=jnp.asarray(imu_info),
         bias_info=jnp.asarray(bias_info), imu_mask=jnp.asarray(imu_mask),
     )
+    return cfg, g, g_imu, t_true
+
+
+def config5_backend():
+    """Pose-graph solve at 5k keyframes + 256 loops (BASELINE config 5),
+    WITH the IMU factor family populated on every consecutive pair — the
+    product shape (the reference backend always carries ImuFactors,
+    imuPreintegration.cpp:243-438). The vmapped-jacfwd IMU linearization is
+    the most expensive factor family (backend.py:309-326).
+    Per-rep times are reported to pin run-to-run variance."""
+    from pointcloud_slam_tpu.models.liosam import backend as bk
+
+    KF, L = 5120, 256
+    cfg, g, g_imu, t_true = build_backend_graph(KF, L)
 
     def timed_solve(graph, reps=5):
         solved = bk.optimize(cfg, graph)
@@ -394,6 +427,26 @@ def config5_backend():
     chi0 = float(np.asarray(bk.residual_stats(cfg, g_imu)[0]))
     chi1 = float(np.asarray(bk.residual_stats(cfg, solved)[0]))
     _, per_rep_odom = timed_solve(g)  # odom+loop only (round<=3 comparison shape)
+
+    # ---- independent f64 oracle on a 1k-node pose-only slice (VERDICT r4
+    # weak #2): exact scipy-sparse GN with FD Jacobians vs the f32 chain-PCG
+    # solve of the SAME graph — the chi2 ratio distinguishes "PCG converged"
+    # from "PCG underconverged at 8x48" ----
+    from pointcloud_slam_tpu.models.liosam import oracle_backend as ob
+
+    n1, L1 = 1024, 64
+    cfg1, g1, _g1_imu, _tt1 = build_backend_graph(
+        n1, L1, gn_iterations=cfg.gn_iterations, pcg_iterations=cfg.pcg_iterations,
+        loop_noise=0.05)
+    d_o = ob.extract_pose_slice(g1)
+    R_o, t_o, _hist = ob.solve(d_o, iters=15)
+    s1 = bk.optimize(cfg1, g1)
+    R_p = np.asarray(s1.R[:n1], np.float64)
+    t_p = np.asarray(s1.t[:n1], np.float64)
+    chi_oracle = ob.chi2(d_o, R_o, t_o)
+    chi_pcg = ob.chi2(d_o, R_p, t_p)
+    oracle_ratio = chi_pcg / max(chi_oracle, 1e-12)
+    oracle_pose_diff = float(np.abs(t_p - t_o).max())
     # the per-keyframe incremental update (iSAM2 update role) at 5k nodes,
     # also with the IMU family in-window
     win = jax.jit(lambda g: bk.optimize_window(cfg, g, window=32))
@@ -411,26 +464,241 @@ def config5_backend():
             "backend_err_before_m": round(err0, 3),
             "backend_err_after_m": round(err1, 3),
             "backend_chi2_before": round(chi0, 1), "backend_chi2_after": round(chi1, 4),
+            "backend_chi2_vs_oracle_ratio": round(float(oracle_ratio), 4),
+            "backend_chi2_oracle_1k": round(float(chi_oracle), 4),
+            "backend_pose_diff_vs_oracle_m": round(oracle_pose_diff, 4),
             "backend_window_update_ms": round(mean(win_rep), 1),
             "backend_window_update_ms_per_rep": [round(x, 1) for x in win_rep]}
 
 
+def config7_pairwise():
+    """Single-pair registration table — the published fast_gicp/ndt_omp
+    benchmark workload (fast_gicp/README.md:96-123: 17k-pt KITTI pair on a
+    Core i9-9900K + RTX 2080 Ti; ndt_omp/README.md:6-44 on a Core i7-6700K).
+    VERDICT r4 missing #2: the one reference perf claim with no recorded
+    counterpart. Reported per algorithm:
+      chain_ms        — per-align ms amortized over an 8-align serial chain in
+                        ONE program (comparable to the table's 100times_reuse
+                        / 100: target structures reused, device time only),
+      single_ms_est   — one-align latency minus the measured axon tunnel
+                        floor (what a locally-attached chip would see),
+      fitness / terr  — cross-algorithm correctness (align.cpp role).
+    VGICP/GICP chains INCLUDE per-source covariance estimation (the
+    reference's setInputSource does too)."""
+    from pointcloud_slam_tpu import ops, register
+
+    n, M = 17_000, 8
+    world = synthetic.make_room_cloud(40_000, seed=0)
+    rng = np.random.default_rng(0)
+    tgt = world[rng.choice(len(world), n, replace=False)]
+    srcs_np, gts = [], []
+    for m in range(M):
+        R, t = synthetic.random_pose(seed=10 + m, rot_scale=0.05, trans_scale=0.3)
+        srcs_np.append(((world[rng.choice(len(world), n, replace=False)] - t) @ R).T)
+        gts.append(t)
+    srcs = jnp.asarray(np.stack(srcs_np).astype(np.float32))  # (M, 3, n)
+    gts = np.stack(gts)
+    tgt_j = jnp.asarray(np.ascontiguousarray(tgt.T.astype(np.float32)))
+    mask = jnp.ones(n, bool)
+
+    fit_grid = ops.GridConfig(capacity=1 << 16, pts_per_voxel=8, resolution=0.5, nearby=7)
+    _, fit_map = register.build_target_map(tgt_j, grid_cfg=fit_grid)
+
+    def fitness(pose_t, pose_R):
+        from pointcloud_slam_tpu.geom import se3
+        pw = se3.Pose(jnp.asarray(pose_R), jnp.asarray(pose_t)).apply(srcs[-1])
+        f, _ = register.fitness_score(fit_grid, fit_map, pw, mask, max_range=1.0)
+        return float(f)
+
+    # tunnel floor (same methodology as config1)
+    noop = jax.jit(lambda s: s[:, 0] + 1.0)
+    _ = np.asarray(noop(srcs[0]))
+    t0 = time.perf_counter()
+    for f in range(4):
+        _ = np.asarray(noop(srcs[f % M]))
+    floor_ms = (time.perf_counter() - t0) / 4 * 1e3
+
+    table = {}
+
+    def run(name, solve_one, reps=3):
+        """solve_one: (3, n) src -> Pose."""
+        chain = jax.jit(lambda ss: jax.lax.map(lambda s: solve_one(s), ss))
+        res = chain(srcs)
+        ts = np.asarray(res.t)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            ts = np.asarray(chain(srcs).t)
+        chain_ms = (time.perf_counter() - t0) / (reps * M) * 1e3
+        one = jax.jit(lambda s: solve_one(s))
+        r1 = one(srcs[-1])
+        _ = np.asarray(r1.t)
+        t0 = time.perf_counter()
+        for f in range(4):
+            r1 = one(srcs[(f + 1) % M])
+            _ = np.asarray(r1.t)
+        single_ms = (time.perf_counter() - t0) / 4 * 1e3
+        terr = float(np.max(np.linalg.norm(ts - gts, axis=1)))
+        table[name] = {
+            "chain_ms": round(chain_ms, 2),
+            "single_ms_est": round(max(single_ms - floor_ms, 0.0), 2),
+            "fitness": round(fitness(np.asarray(res.t)[-1], np.asarray(res.R)[-1]), 4),
+            "terr_max_m": round(terr, 4),
+        }
+
+    icp_cfg = register.ICPConfig(solver=register.SolverConfig(max_iterations=30))
+    run("icp_p2pl", lambda s: register.point_to_plane_icp(fit_grid, fit_map, s, cfg=icp_cfg).pose)
+
+    ncfg = register.NDTConfig(resolution=1.0)
+    ng, nmap = register.ndt.build_target(ncfg, tgt_j, capacity=1 << 15)
+    run("ndt_p2d", lambda s: register.ndt.align(ng, nmap, s, cfg=ncfg).pose)
+
+    def d2d(s):
+        sm, sc, sv, _ = register.ndt.voxelize_source(ncfg, s)
+        return register.ndt.align_d2d(ng, nmap, sm, sc, sv, cfg=ncfg).pose
+    run("ndt_d2d", d2d)
+
+    vcfg = register.VGICPConfig(resolution=1.0)
+    vg, vmap = register.vgicp.build_target(vcfg, tgt_j, capacity=1 << 15)
+    run("vgicp_knn", lambda s: register.vgicp.align(
+        vg, vmap, s, register.source_covariances(s, mask, k=8, resolution=1.0), mask, cfg=vcfg).pose)
+    run("vgicp_rbf", lambda s: register.vgicp.align(
+        vg, vmap, s, register.source_covariances_rbf(s, mask, resolution=1.0, kernel_width=0.5),
+        mask, cfg=vcfg).pose)
+
+    gcfg = register.GICPConfig()
+    ggrid_cfg, ggrid, gatt = register.gicp.build_target(gcfg, tgt_j)
+    run("gicp", lambda s: register.gicp.align(
+        ggrid_cfg, ggrid, gatt, s, register.source_covariances(s, mask, k=8, resolution=1.0),
+        mask, cfg=gcfg).pose)
+
+    return {"pairwise_n_pts": n, "pairwise_tunnel_floor_ms": round(floor_ms, 2),
+            "pairwise": table}
+
+
+def config8_localization():
+    """Prior-map localization at product shape (VERDICT r4 missing #3) — the
+    deployed mode the reference runs at lidar rate with a
+    MultiThreadedSpinner(6) (src/jueying_slam/src/new_localization.cpp:77-2081).
+    Measures: sequential feature-LOAM tile localization fps (64-frame chain in
+    one program, carry pose = product data dependency), single-frame latency,
+    and relocalization latency after an induced 5 m loss (the
+    laserCloudInfoHandler :424-476 fitness gate -> relocalize -> re-match
+    sequence)."""
+    from pointcloud_slam_tpu.geom import se3
+    from pointcloud_slam_tpu.models.liosam import scan2map as s2m
+    from pointcloud_slam_tpu.models.localization import pipeline as loc
+    from pointcloud_slam_tpu import ops
+
+    Nc, Ns, M = 512, 2048, 64
+    corners_w, surfs_w = synthetic.make_feature_world(seed=3)
+    # degeneracy_eig=1.0: the prior-map insert keeps <=8 pts/voxel at 0.8 m,
+    # so Hessian eigenvalues sit far below the raw reference threshold (100)
+    # — at 100 the projection clamps ~2 cm of every update and the chain
+    # lags into divergence (measured: 0.027 -> 0.32 m over 16 frames)
+    cfg = loc.LocalizationConfig(
+        scan2map=s2m.Scan2MapConfig(solver=register.SolverConfig(max_iterations=6),
+                                    degeneracy_eig=1.0))
+    cmap = ops.insert(cfg.scan2map.corner_grid, ops.create(cfg.scan2map.corner_grid),
+                      jnp.asarray(corners_w.T.astype(np.float32)),
+                      jnp.ones(len(corners_w), bool))
+    smap = ops.insert(cfg.scan2map.surf_grid, ops.create(cfg.scan2map.surf_grid),
+                      jnp.asarray(surfs_w.T.astype(np.float32)),
+                      jnp.ones(len(surfs_w), bool))
+
+    # circular trajectory inside the map; scans in the sensor frame
+    cs, cms, ss, sms, gts = [], [], [], [], []
+    for k in range(M):
+        ang = 2 * np.pi * k / M
+        t = np.array([3.0 * np.sin(ang), 3.0 * (1 - np.cos(ang)), 1.0], np.float32)
+        R = np.eye(3, dtype=np.float32)
+        c, cm = synthetic.take_scan(corners_w, R, t, Nc, seed=k)
+        s, sm = synthetic.take_scan(surfs_w, R, t, Ns, seed=100 + k)
+        cs.append(c.T); cms.append(cm); ss.append(s.T); sms.append(sm); gts.append(t)
+    cs = jnp.asarray(np.stack(cs).astype(np.float32))
+    cms = jnp.asarray(np.stack(cms)); ss = jnp.asarray(np.stack(ss).astype(np.float32))
+    sms = jnp.asarray(np.stack(sms)); gts = np.stack(gts)
+
+    @jax.jit
+    def chain(cmap, smap, cs, cms, ss, sms):
+        # constant-velocity prediction between scans — the TransformFusion /
+        # fused-odometry init the deployed localizer matches from
+        # (new_localization.cpp receives odometry-rate initial guesses);
+        # matching from the RAW previous pose lags ~2 cm/frame and drifts
+        def step(carry, xs):
+            pose, prev_t = carry
+            c, cm, s, sm = xs
+            init = se3.Pose(pose.R, pose.t + (pose.t - prev_t))
+            res = loc.localize_loam(cfg, None, cmap, smap, c, cm, s, sm, init)
+            return (res.pose, pose.t), (res.pose.t, res.fitness, res.lost)
+        p0 = se3.Pose(jnp.eye(3), jnp.asarray(gts[0]))
+        _, (ts, fit, lost) = jax.lax.scan(step, (p0, p0.t), (cs, cms, ss, sms))
+        return ts, fit, lost
+
+    ts, fit, lost = jax.tree.map(np.asarray, chain(cmap, smap, cs, cms, ss, sms))
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ts = np.asarray(chain(cmap, smap, cs, cms, ss, sms)[0])
+    per_frame = (time.perf_counter() - t0) / (reps * M)
+    err = float(np.max(np.linalg.norm(ts - gts, axis=1)))
+
+    one = jax.jit(lambda c, cm, s, sm, p: loc.localize_loam(cfg, None, cmap, smap, c, cm, s, sm, p))
+    p0 = se3.Pose(jnp.eye(3), jnp.asarray(gts[0]))
+    _ = np.asarray(one(cs[0], cms[0], ss[0], sms[0], p0).pose.t)
+    t0 = time.perf_counter()
+    for k in range(4):
+        _ = np.asarray(one(cs[k], cms[k], ss[k], sms[k],
+                           se3.Pose(jnp.eye(3), jnp.asarray(gts[k]))).pose.t)
+    lat_ms = (time.perf_counter() - t0) / 4 * 1e3
+
+    # relocalization: teleported init -> lost; fallback (GPS/initialPose
+    # role) -> re-match. Latency = the whole detect+recover+rematch sequence.
+    # The teleport includes +2 m z: the fitness gate must catch it even
+    # where the floor plane makes horizontal offsets fitness-blind.
+    bad_init = se3.Pose(jnp.eye(3), jnp.asarray(gts[7] + np.array([5.0, 5.0, 2.0], np.float32)))
+    fb = se3.Pose(jnp.eye(3), jnp.asarray(gts[7]))
+
+    @jax.jit
+    def recover(c, cm, s, sm):
+        r1 = loc.localize_loam(cfg, None, cmap, smap, c, cm, s, sm, bad_init)
+        p2 = loc.relocalize(r1, fb)
+        r2 = loc.localize_loam(cfg, None, cmap, smap, c, cm, s, sm, p2)
+        return r1.lost, r2.lost, r2.pose.t, r2.fitness
+
+    l1, l2, t2, f2 = jax.tree.map(np.asarray, recover(cs[7], cms[7], ss[7], sms[7]))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        l1, l2, t2, f2 = jax.tree.map(np.asarray, recover(cs[7], cms[7], ss[7], sms[7]))
+    reloc_ms = (time.perf_counter() - t0) / 3 * 1e3
+    reloc_err = float(np.linalg.norm(t2 - gts[7]))
+    return {"localization_fps": round(1.0 / per_frame, 1),
+            "localization_err_max_m": round(err, 4),
+            "localization_latency_ms": round(lat_ms, 2),
+            "localization_lost_frames": int(np.sum(lost)),
+            "reloc_latency_ms": round(reloc_ms, 2),
+            "reloc_triggered": bool(l1), "reloc_recovered": bool(~l2),
+            "reloc_err_m": round(reloc_err, 4)}
+
+
 def config6_slam():
-    """Full LIO-SAM slam_step throughput at PRODUCT scale: max_keyframes=512
-    (the run_slam_offline default) with a graph pre-populated to 480
-    keyframes, so the costs that grow with KF — _rebuild_maps top-k,
-    SC descriptor matching over (KF, R, S), RS argmin over KF, the window
-    solve's node window — are all paid at the product shape (VERDICT r3
-    weak #2). Two shapes, one compiled program (same cfg/shapes):
-      - fresh: exploring new territory after a 480-keyframe approach; loop
-        detectors run every keyframe but find no eligible candidate,
-      - revisit: continuing a multi-revolution circle over keyframes from a
-        previous pass (>30 s old) — RS verification, loop factors, and the
-        deferred one-sweep-per-frame full solve all engage continuously
-        (the reference's loop thread closes at ~keyframe rate during a long
-        revisit too, mapOptmization.cpp:592-605).
-    Not a BASELINE config — product-shape evidence (the reference's
-    mapOptmization runs at lidar rate ~10 Hz, mapOptmization.cpp:356-405)."""
+    """Full LIO-SAM slam_step throughput at PRODUCT scale, at TWO graph
+    sizes: max_keyframes=512 (the run_slam_offline default; fresh + revisit
+    shapes) and max_keyframes=4096 (reference-scale trajectory, revisit
+    shape — VERDICT r4 next #1b: slam_step proven at KF>=4096 with a
+    populated graph). Also records:
+      - a three-way per-frame latency split on the revisit shape (plain /
+        detection / drain p50+p99, VERDICT r4 next #6 — the reference pays
+        verification on the loop thread, mapOptmization.cpp:683-731),
+      - the fresh-shape error decomposition (frame0 latch vs drift-per-meter,
+        VERDICT r4 next #9) with the 0.01 m/m drift gate."""
+    out = _slam_bench(KF=512, PRE=480, suffix="", shapes=("fresh", "revisit"))
+    out.update(_slam_bench(KF=4096, PRE=4064, suffix="_kf4096", shapes=("revisit",)))
+    out["slam_step_kf"] = 512
+    out["slam_step_kf_max"] = 4096
+    return out
+
+
+def _slam_bench(KF, PRE, suffix, shapes):
     from pointcloud_slam_tpu.geom import se3
     from pointcloud_slam_tpu.models.liosam import backend as bk
     from pointcloud_slam_tpu.models.liosam import scan2map as s2m
@@ -438,7 +706,6 @@ def config6_slam():
     from pointcloud_slam_tpu.models.liosam import slam
 
     n_corner, n_surf, n_frames = 512, 2048, 32
-    KF, PRE = 512, 480
     KF_DT = 0.5  # prepopulated keyframe time spacing [s]
     corners_w, surfs_w = synthetic.make_feature_world()
     cfg = slam.SLAMConfig(
@@ -504,27 +771,34 @@ def config6_slam():
         cmap, smap = rebuild_jit(state, state.graph.t[PRE - 1])
         return state._replace(corner_map=cmap, surf_map=smap)
 
-    # ---- shape A (fresh): straight approach along -y ending at the circle
-    # start; only the last ~24 keyframes are inside the feature world and
-    # carry real scans (the rest are noise clouds far outside RS range) ----
-    step_len = 0.32   # just over the 0.3 m keyframe gate
-    ys = -step_len * np.arange(PRE - 1, -1, -1) - 0.35
-    poses_a = np.stack([np.zeros(PRE), ys, np.ones(PRE)], 1).astype(np.float32)
-    clouds_a = []
-    for i in range(PRE):
-        if ys[i] > -10.0:
-            clouds_a.append(scan_at(poses_a[i], seed=5000 + i))
-        else:
-            c = rng.uniform(-8, 8, (n_corner, 3)).astype(np.float32) + poses_a[i]
-            s = rng.uniform(-8, 8, (n_surf, 3)).astype(np.float32) + poses_a[i]
-            clouds_a.append((c, np.ones(n_corner, bool), s, np.ones(n_surf, bool)))
-    # ---- shape B (revisit): PRE keyframes along ~4.6 revolutions of the
-    # same circle the measured frames continue (all real scans). Keyframe
-    # chord 0.36 m — just over the 0.3 m gate, so the first measured frame
-    # starts within the baked grids' capture basin of the last keyframe ----
+    def fresh_shape():
+        # ---- shape A (fresh): straight approach along -y ending at the
+        # circle start; only the last ~24 keyframes are inside the feature
+        # world and carry real scans (the rest are noise clouds far outside
+        # RS range) ----
+        step_len = 0.32   # just over the 0.3 m keyframe gate
+        ys = -step_len * np.arange(PRE - 1, -1, -1) - 0.35
+        poses_a = np.stack([np.zeros(PRE), ys, np.ones(PRE)], 1).astype(np.float32)
+        clouds_a = []
+        for i in range(PRE):
+            if ys[i] > -10.0:
+                clouds_a.append(scan_at(poses_a[i], seed=5000 + i))
+            else:
+                c = rng.uniform(-8, 8, (n_corner, 3)).astype(np.float32) + poses_a[i]
+                s = rng.uniform(-8, 8, (n_surf, 3)).astype(np.float32) + poses_a[i]
+                clouds_a.append((c, np.ones(n_corner, bool), s, np.ones(n_surf, bool)))
+        return poses_a, clouds_a, 0.0
+
+    # revisit keyframe chord 0.36 m — just over the 0.3 m gate, so the first
+    # measured frame starts within the baked grids' capture basin
     KF_ANG = 0.04 * 1.5
-    poses_b = np.stack([circle(KF_ANG * i) for i in range(PRE)]).astype(np.float32)
-    clouds_b = [scan_at(poses_b[i], seed=6000 + i) for i in range(PRE)]
+
+    def revisit_shape():
+        # ---- shape B (revisit): PRE keyframes along the same circle the
+        # measured frames continue (all real scans, >30 s old) ----
+        poses_b = np.stack([circle(KF_ANG * i) for i in range(PRE)]).astype(np.float32)
+        clouds_b = [scan_at(poses_b[i], seed=6000 + i) for i in range(PRE)]
+        return poses_b, clouds_b, KF_ANG * PRE
 
     def frames(ang0):
         cs, cms, ss, sms, gts = [], [], [], [], []
@@ -543,25 +817,80 @@ def config6_slam():
             return st, (out.pose.t, out.loop_detected)
         return jax.lax.scan(body, state, (cs, cms, ss, sms))
 
+    step1 = jax.jit(lambda st, c, cm, s, sm: slam.slam_step(cfg, st, c, cm, s, sm))
+
+    shape_fns = {"fresh": ("", fresh_shape), "revisit": ("_revisit", revisit_shape)}
     out = {}
-    for name, state0, ang0 in (
-        ("", populate(slam.create_state(cfg), poses_a, clouds_a), 0.0),
-        ("_revisit", populate(slam.create_state(cfg), poses_b, clouds_b), KF_ANG * PRE),
-    ):
+    for shape in shapes:
+        name, fn = shape_fns[shape]
+        name += suffix
+        poses, clouds, ang0 = fn()
+        state0 = populate(slam.create_state(cfg), poses, clouds)
         cs, cms, ss, sms, gts = frames(ang0)
         st1, (ts, loops) = run_all(state0, cs, cms, ss, sms)
-        err = float(np.linalg.norm(np.asarray(ts)[-1] - gts[-1]))
+        ts = np.asarray(ts)
+        err = float(np.linalg.norm(ts[-1] - gts[-1]))
         n_loops = int(np.asarray(loops).sum())
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            _, (ts, _l) = run_all(state0, cs, cms, ss, sms)
-            _ = np.asarray(ts)
+            _, (ts_r, _l) = run_all(state0, cs, cms, ss, sms)
+            _ = np.asarray(ts_r)
         dt = (time.perf_counter() - t0) / (reps * n_frames)
         out[f"slam_step_fps{name}"] = round(1.0 / dt, 2)
         out[f"slam_final_err_m{name}"] = round(err, 4)
         out[f"slam_loops{name}"] = n_loops
-    out["slam_step_kf"] = KF
+
+        if shape == "fresh":
+            # error decomposition (VERDICT r4 next #9): the frame-0 latch is
+            # the one-time capture-basin snap at the approach/circle seam;
+            # drift is the per-meter accumulation after it — the regression
+            # the conflated final_err number used to hide
+            errs = np.linalg.norm(ts - gts, axis=1)
+            path = float(np.sum(np.linalg.norm(np.diff(gts, axis=0), axis=1)))
+            latch = float(errs[0])
+            drift_per_m = float((errs[-1] - latch) / max(path, 1e-9))
+            out[f"slam_frame0_latch_m{suffix}"] = round(latch, 4)
+            out[f"slam_drift_m_per_m{suffix}"] = round(drift_per_m, 5)
+            out[f"slam_drift_gate_ok{suffix}"] = bool(abs(drift_per_m) <= 0.01)
+
+        if shape == "revisit":
+            # three-way per-frame latency split (VERDICT r4 next #6): plain /
+            # detection (a loop factor landed this frame) / drain (deferred
+            # sweeps running). Per-frame readback includes the axon tunnel
+            # floor — reported so device share can be separated.
+            lat, cls = [], []
+            for rep in range(2):
+                st = state0
+                prev_pending = 0
+                for k in range(n_frames):
+                    t0 = time.perf_counter()
+                    st, o = step1(st, cs[k], cms[k], ss[k], sms[k])
+                    # ONE host fetch (each separate readback would pay the
+                    # full tunnel roundtrip and poison the timing)
+                    _t, looped, pending = jax.device_get(
+                        (o.pose.t, o.loop_detected, o.opt_pending))
+                    lat.append((time.perf_counter() - t0) * 1e3)
+                    # opt_pending is post-decrement: the final drain frame
+                    # reads 0 but still paid a sweep — prev_pending covers it
+                    cls.append("loop" if bool(looped)
+                               else ("drain" if int(pending) > 0 or prev_pending > 0
+                                     else "plain"))
+                    prev_pending = int(pending)
+            lat = np.asarray(lat)
+            for c in ("plain", "loop", "drain"):
+                sel = lat[[i for i, x in enumerate(cls) if x == c]]
+                if len(sel):
+                    out[f"slam_frame_{c}_p50_ms{name}"] = round(float(np.percentile(sel, 50)), 1)
+                    out[f"slam_frame_{c}_p99_ms{name}"] = round(float(np.percentile(sel, 99)), 1)
+                    out[f"slam_frame_{c}_count{name}"] = int(len(sel))
+            noop = jax.jit(lambda s: s[:, 0] + 1.0)
+            _ = np.asarray(noop(cs[0]))
+            t0 = time.perf_counter()
+            for f in range(4):
+                _ = np.asarray(noop(cs[f % n_frames]))
+            out[f"slam_frame_tunnel_floor_ms{suffix}"] = round(
+                (time.perf_counter() - t0) / 4 * 1e3, 1)
     return out
 
 
@@ -576,7 +905,9 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     if args.only:
-        fns = {1: config1_icp, 2: config2_ndt, 3: config3_lio, 4: config4_occupancy, 5: config5_backend, 6: config6_slam}
+        fns = {1: config1_icp, 2: config2_ndt, 3: config3_lio, 4: config4_occupancy,
+               5: config5_backend, 6: config6_slam, 7: config7_pairwise,
+               8: config8_localization}
         out = fns[args.only]()
         print(json.dumps(out if isinstance(out, dict) else {"fps": out[0], **out[1]}))
         return
@@ -584,7 +915,8 @@ def main():
     fps, det1 = config1_icp()
     secondary = {}
     if not args.skip_secondary:
-        for fn in (config2_ndt, config3_lio, config4_occupancy, config5_backend, config6_slam):
+        for fn in (config2_ndt, config3_lio, config4_occupancy, config5_backend,
+                   config6_slam, config7_pairwise, config8_localization):
             try:
                 secondary.update(fn())
             except Exception as e:  # a secondary config must never kill the headline

@@ -452,7 +452,7 @@ def _offdiag_blocks(KF, dtype, slots, Ji_fams, Jj_fams, info_fams):
     return jnp.zeros((KF, D, D), dtype).at[slots].add(acc, mode="drop")
 
 
-def chain_factor(Dblk, L):
+def chain_factor(Dblk, L, direct_n=256):
     """Block cyclic reduction factorization of the SPD block-tridiagonal
     system diag(Dblk) + sub-diagonal L (L[k] couples node k-1 -> k, L[0]=0).
 
@@ -460,18 +460,27 @@ def chain_factor(Dblk, L):
     exactly as the PCG preconditioner makes convergence depend on the number
     of loop closures instead of the trajectory length (a 5k-node chain needs
     ~5k block-Jacobi PCG iterations to propagate a loop correction; with the
-    chain solve it needs ~tens). Cyclic reduction runs log2(KF) levels of
+    chain solve it needs ~tens). Cyclic reduction runs log2 levels of
     BATCHED 15x15 block algebra — no sequential scans — so it maps onto the
     TPU the way the length-parallel solvers in the literature map onto GPUs.
 
-    Returns a list of per-level caches consumed by `chain_solve`.
+    HYBRID tail (round 5): reduction stops once the system is <= `direct_n`
+    nodes and the remainder is solved DENSELY via one Cholesky factorization.
+    The deepest reduction levels have tiny batches (80, 40, 20, ... blocks) —
+    pure kernel-launch latency on a TPU, two launches per level per
+    chain_solve — while the dense tail is a single MXU-friendly cho_solve.
+    At 5k nodes this cuts a chain_solve from ~26 sequential small kernels to
+    ~11 (measured in tools/probe_backend_sweep.py; drives the deferred-sweep
+    drain stall down, VERDICT r4 next #5).
+
+    Returns (levels, tail) consumed by `chain_solve`.
     """
     dtype = Dblk.dtype
     eye = jnp.eye(Dblk.shape[-1], dtype=dtype)
     levels = []
     Dl, Ll = Dblk, L
     n = Dl.shape[0]
-    while n > 1:
+    while n > max(direct_n, 1):
         n_odd = n // 2
         n_even = n - n_odd
         De = Dl[0::2]
@@ -497,11 +506,21 @@ def chain_factor(Dblk, L):
         LeT_next = jnp.swapaxes(jnp.concatenate([Le[1:], jnp.zeros((1, *eye.shape), dtype)], 0), -1, -2)[:n_odd]
         levels.append({"A": A, "C": C, "Do_inv": Do_inv, "Lo": Lo, "LeT_next": LeT_next, "n": n})
         Dl, Ll, n = D_new, L_new, n_even
-    top_inv = jnp.linalg.inv(Dl[0] + 1e-8 * eye)
-    return levels, top_inv
+    # dense tail: assemble the remaining block-tridiagonal system and
+    # Cholesky-factor it once (it is the SPD Schur complement of the chain)
+    B = Dl.shape[-1]
+    M = jnp.zeros((n, B, n, B), dtype)
+    idx = jnp.arange(n)
+    M = M.at[idx, :, idx, :].set(Dl)
+    if n > 1:
+        M = M.at[idx[1:], :, idx[:-1], :].set(Ll[1:])
+        M = M.at[idx[:-1], :, idx[1:], :].set(jnp.swapaxes(Ll[1:], -1, -2))
+    M = M.reshape(n * B, n * B) + 1e-8 * jnp.eye(n * B, dtype=dtype)
+    tail = (jax.scipy.linalg.cho_factor(M)[0], n)
+    return levels, tail
 
 
-def chain_solve(levels, top_inv, r):
+def chain_solve(levels, tail, r):
     """Apply the cyclic-reduction factorization: solve M x = r, r (KF, D)."""
     # down sweep: reduce the RHS to the even sub-systems, stashing the odd r
     stack = []
@@ -513,7 +532,8 @@ def chain_solve(levels, top_inv, r):
         r_o_shift = jnp.concatenate([jnp.zeros((1, r.shape[1]), r.dtype), r_o_p[:-1]], 0)
         r = r_e - jnp.einsum("mab,mb->ma", lv["A"], r_o_shift) - jnp.einsum("mab,mb->ma", lv["C"], r_o_p)
         stack.append(r_o)
-    x = jnp.einsum("ab,b->a", top_inv, r[0])[None, :]
+    chol, n_tail = tail
+    x = jax.scipy.linalg.cho_solve((chol, False), r.reshape(-1)).reshape(n_tail, r.shape[1])
     # up sweep: recover the odd unknowns level by level
     for lv, r_o in zip(reversed(levels), reversed(stack)):
         n, n_odd = lv["n"], r_o.shape[0]

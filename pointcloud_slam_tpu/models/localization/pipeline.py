@@ -34,7 +34,14 @@ class LocalizationConfig:
     fitness_thresh: float = 0.15     # Corner_fitness gate (localization.cpp:424)
     fitness_range: float = 1.0
     ndt: register.NDTConfig = dataclasses.field(default_factory=lambda: register.NDTConfig(resolution=1.0))
-    scan2map: s2m.Scan2MapConfig = dataclasses.field(default_factory=s2m.Scan2MapConfig)
+    # degeneracy_eig=1.0 (NOT the SLAM local-map default 100): the prior map
+    # is voxel-capped (<=8 pts/voxel), so scan2map Hessian eigenvalues sit
+    # far below the reference's raw threshold — at 100 the degeneracy
+    # projection clamps ~2 cm of EVERY update and sequential localization
+    # lags into divergence (measured in bench config 8: 0.027 -> 0.32 m err
+    # over 16 frames at 0.29 m/frame; at 1.0 it tracks at ~0.02 m)
+    scan2map: s2m.Scan2MapConfig = dataclasses.field(
+        default_factory=lambda: s2m.Scan2MapConfig(degeneracy_eig=1.0))
     # minimum matched-point fraction before declaring loss (the reference's
     # effective-point gate in laserCloudInfoHandler :424-476)
     min_matched_frac: float = 0.3
