@@ -422,6 +422,15 @@ def config5_backend():
         sweep1 = bk.optimize(cfg, g_imu, gn_iterations=1)
         _ = np.asarray(sweep1.t[0])
     sweep1_ms = (time.perf_counter() - t0) / 5 * 1e3
+    # the SLICED drain sweep (slam.py loop_solve_pcg_slice=16 default):
+    # the actual per-frame stall while a loop event drains at 5k keyframes
+    slice1 = bk.optimize(cfg, g_imu, gn_iterations=1, pcg_iterations=16)
+    _ = np.asarray(slice1.t[0])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        slice1 = bk.optimize(cfg, g_imu, gn_iterations=1, pcg_iterations=16)
+        _ = np.asarray(slice1.t[0])
+    slice1_ms = (time.perf_counter() - t0) / 5 * 1e3
     err0 = float(np.linalg.norm(np.asarray(g_imu.t) - t_true, axis=1).max())
     err1 = float(np.linalg.norm(np.asarray(solved.t) - t_true, axis=1).max())
     chi0 = float(np.asarray(bk.residual_stats(cfg, g_imu)[0]))
@@ -460,6 +469,7 @@ def config5_backend():
     return {"backend_5k_solve_ms": round(mean(per_rep), 1),
             "backend_5k_solve_ms_per_rep": [round(x, 1) for x in per_rep],
             "backend_5k_single_sweep_ms": round(sweep1_ms, 1),
+            "backend_5k_sweep_slice_ms": round(slice1_ms, 1),
             "backend_5k_solve_odom_only_ms": round(mean(per_rep_odom), 1),
             "backend_err_before_m": round(err0, 3),
             "backend_err_after_m": round(err1, 3),

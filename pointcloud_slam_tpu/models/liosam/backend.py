@@ -452,6 +452,35 @@ def _offdiag_blocks(KF, dtype, slots, Ji_fams, Jj_fams, info_fams):
     return jnp.zeros((KF, D, D), dtype).at[slots].add(acc, mode="drop")
 
 
+def _spd_inv(A, iters=24):
+    """Batched SPD inverse via Jacobi-scaled Newton-Schulz — matmul-only.
+
+    `jnp.linalg.inv` on (n, 15, 15) batches lowers to pivoted LU, which the
+    TPU executes as scalar-heavy loops (~13 ms for the 5k graph's reduction
+    levels, the dominant chain_factor cost — measured in
+    tools/probe_backend_sweep.py). Newton-Schulz is two batched 15x15
+    einsums per iteration, pure MXU work. The blocks' diagonals span 1e0-1e8
+    (gauge/unit priors vs odometry info), which would stall plain NS, so the
+    matrix is symmetrically scaled to unit diagonal first (condition of the
+    scaled block is set by the off-diagonal structure, not the info spread).
+    The result is symmetrized so the cyclic-reduction preconditioner stays
+    symmetric for PCG."""
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(A, axis1=-2, axis2=-1), 1e-20))
+    S = A / (d[..., :, None] * d[..., None, :])
+    eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+    norm1 = jnp.max(jnp.sum(jnp.abs(S), axis=-1), axis=-1)
+    norminf = jnp.max(jnp.sum(jnp.abs(S), axis=-2), axis=-1)
+    X = jnp.swapaxes(S, -1, -2) / (norm1 * norminf)[..., None, None]
+
+    def body(X, _):
+        SX = jnp.einsum("...ab,...bc->...ac", S, X)
+        return jnp.einsum("...ab,...bc->...ac", X, 2.0 * eye - SX), None
+
+    X, _ = jax.lax.scan(body, X, None, length=iters)
+    X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+    return X / (d[..., :, None] * d[..., None, :])
+
+
 def chain_factor(Dblk, L, direct_n=256):
     """Block cyclic reduction factorization of the SPD block-tridiagonal
     system diag(Dblk) + sub-diagonal L (L[k] couples node k-1 -> k, L[0]=0).
@@ -487,7 +516,7 @@ def chain_factor(Dblk, L, direct_n=256):
         Do = Dl[1::2]
         Le = Ll[0::2]                                        # L[2m]: couples 2m-1 -> 2m
         Lo = Ll[1::2]                                        # L[2m+1]: couples 2m -> 2m+1
-        Do_inv = jnp.linalg.inv(Do + 1e-8 * eye)
+        Do_inv = _spd_inv(Do + 1e-8 * eye)
         # pad odd-side arrays to n_even for the shifted/boundary terms
         pad = n_even - n_odd
         Do_inv_p = jnp.concatenate([Do_inv, jnp.broadcast_to(eye, (pad, *eye.shape))], 0) if pad else Do_inv
@@ -737,8 +766,9 @@ def residual_stats(cfg: BackendConfig, g: PoseGraph):
     return chi2, jnp.sqrt(chi2 / n_rows.astype(e.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "gn_iterations"))
-def optimize(cfg: BackendConfig, g: PoseGraph, gn_iterations: Optional[int] = None) -> PoseGraph:
+@functools.partial(jax.jit, static_argnames=("cfg", "gn_iterations", "pcg_iterations"))
+def optimize(cfg: BackendConfig, g: PoseGraph, gn_iterations: Optional[int] = None,
+             pcg_iterations: Optional[int] = None) -> PoseGraph:
     """Batch GN over the whole graph (the correctPoses moment).
 
     Node 0 carries a huge prior (gauge); inactive slots get unit priors so H
@@ -750,8 +780,11 @@ def optimize(cfg: BackendConfig, g: PoseGraph, gn_iterations: Optional[int] = No
     solve (slam.py) runs ONE relinearize+chain+PCG sweep per frame so a 5k
     graph never stalls the pipeline for the full solve (the reference spreads
     this cost the same way: iSAM2 incremental updates on the mapping thread,
-    mapOptmization.cpp:1835-1850).
-    """
+    mapOptmization.cpp:1835-1850). `pcg_iterations` likewise overrides the
+    per-sweep PCG budget — the drain SLICE: more sweeps of fewer iterations
+    deliver the same total Krylov work at a bounded per-frame stall (the
+    relinearize+factor overhead per sweep is ~5 ms at 5k nodes after the
+    NS-inverse/hybrid-tail work, so slicing is cheap)."""
     KF = cfg.max_keyframes
     dtype = g.t.dtype
     idx = jnp.arange(KF)
@@ -815,7 +848,8 @@ def optimize(cfg: BackendConfig, g: PoseGraph, gn_iterations: Optional[int] = No
             p = z + beta * p
             return (x, r, p, rz_new), None
 
-        (dx, r, p, rz), _ = jax.lax.scan(pcg, (x, r, p, rz), None, length=cfg.pcg_iterations)
+        n_pcg = cfg.pcg_iterations if pcg_iterations is None else pcg_iterations
+        (dx, r, p, rz), _ = jax.lax.scan(pcg, (x, r, p, rz), None, length=n_pcg)
         dx = jnp.where(active[:, None], dx, 0.0)
         # trust region: scale the WHOLE step so the largest per-node pose
         # update stays under cfg.max_step — an undamped GN sweep on a graph

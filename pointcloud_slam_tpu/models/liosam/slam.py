@@ -97,7 +97,15 @@ class SLAMConfig:
     # Per-frame stall is bounded by ONE sweep (~95 ms at 5k keyframes vs
     # 763 ms for the inline 8-sweep solve).
     deferred_loop_solve: bool = True
-    loop_solve_sweeps: int = 0         # 0 -> backend.gn_iterations
+    loop_solve_sweeps: int = 0         # 0 -> backend.gn_iterations (x slice factor)
+    # Drain PCG slice: each deferred sweep runs this many PCG iterations
+    # instead of backend.pcg_iterations, and proportionally MORE sweeps are
+    # queued (same total Krylov work, bounded per-frame stall). At 5k
+    # keyframes a 48-iteration sweep costs ~50 ms device vs ~27 ms at 16
+    # (relinearize+factor is ~5 ms after the NS-inverse/hybrid-tail work,
+    # so the slicing overhead is small) — tools/probe_backend_sweep.py.
+    # 0 disables (full-budget sweeps).
+    loop_solve_pcg_slice: int = 16
     # Fixed-cadence loop detection (the reference's 1 Hz loop thread runs
     # regardless of keyframe creation, mapOptmization.cpp:592-605): every
     # `loop_detect_every` frames the detectors re-run against the LATEST
@@ -181,6 +189,20 @@ def create_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
         loop_closed_kf=jnp.full((), -1, jnp.int32),
         last_loop_frame=jnp.full((), -(1 << 30), jnp.int32),
     )
+
+
+def deferred_sweep_plan(cfg: SLAMConfig):
+    """(n_sweeps, pcg_iterations_per_sweep) of the deferred loop-event solve:
+    with a PCG slice, proportionally more sweeps at the sliced budget (same
+    total Krylov work, bounded per-frame stall); None = full budget."""
+    slice_ = cfg.loop_solve_pcg_slice
+    if slice_ > 0 and slice_ < cfg.backend.pcg_iterations:
+        factor = -(-cfg.backend.pcg_iterations // slice_)  # ceil
+        pcg = slice_
+    else:
+        factor, pcg = 1, None
+    n = cfg.loop_solve_sweeps if cfg.loop_solve_sweeps > 0 else cfg.backend.gn_iterations * factor
+    return n, pcg
 
 
 def grow_state(cfg: SLAMConfig, state: SLAMState,
@@ -507,12 +529,12 @@ def slam_step(
     if not cfg.window_update:
         trigger = trigger | needs_opt_gps  # no window solve to absorb GPS
 
-    def solve_and_correct(gn_iters):
+    def solve_and_correct(gn_iters, pcg_iters=None):
         def f(state):
             g = state.graph
             k = jnp.maximum(g.n - 1, 0)
             R_old, t_old = g.R[k], g.t[k]
-            g2 = bk.optimize(cfg.backend, g, gn_iterations=gn_iters)
+            g2 = bk.optimize(cfg.backend, g, gn_iterations=gn_iters, pcg_iterations=pcg_iters)
             # left (world-frame) delta of the latest node, applied to the
             # odometry pose: pose' = (T_k_new T_k_old^-1) pose
             dR = g2.R[k] @ R_old.T
@@ -526,11 +548,12 @@ def slam_step(
         return f
 
     if cfg.deferred_loop_solve:
-        n_sweeps = cfg.loop_solve_sweeps if cfg.loop_solve_sweeps > 0 else cfg.backend.gn_iterations
+        n_sweeps, pcg_iters = deferred_sweep_plan(cfg)
         state = state._replace(
             opt_sweeps=jnp.where(trigger, jnp.asarray(n_sweeps, jnp.int32), state.opt_sweeps)
         )
-        state = jax.lax.cond(state.opt_sweeps > 0, solve_and_correct(1), lambda s: s, state)
+        state = jax.lax.cond(state.opt_sweeps > 0, solve_and_correct(1, pcg_iters),
+                             lambda s: s, state)
     else:
         state = jax.lax.cond(trigger, solve_and_correct(None), lambda s: s, state)
 

@@ -70,6 +70,28 @@ class TestOracleSelf:
         assert all(b <= a * (1 + 1e-9) for a, b in zip(hist, hist[1:]))
 
 
+class TestSlicedSweeps:
+    def test_sliced_drain_matches_contiguous(self):
+        """The drain slice (slam.py loop_solve_pcg_slice): 3x the sweeps at
+        1/3 the PCG budget must reach the same objective as the contiguous
+        solve — the per-frame stall bound must not cost solution quality."""
+        cfg = bk.BackendConfig(max_keyframes=256, max_loops=16,
+                               gn_iterations=6, pcg_iterations=48)
+        g, _ = _graph(cfg, 200, 8, robust=False, loop_noise=0.03)
+        full = bk.optimize(cfg, g)
+        sliced = g
+        for _ in range(6 * 3):
+            sliced = bk.optimize(cfg, sliced, gn_iterations=1, pcg_iterations=16)
+        d = ob.extract_pose_slice(g)
+        chi_full = ob.chi2(d, np.asarray(full.R[:200], np.float64),
+                           np.asarray(full.t[:200], np.float64))
+        chi_sliced = ob.chi2(d, np.asarray(sliced.R[:200], np.float64),
+                             np.asarray(sliced.t[:200], np.float64))
+        assert chi_sliced <= chi_full * 1.05 + 5e-3, (chi_sliced, chi_full)
+        dmax = float(np.abs(np.asarray(sliced.t[:200]) - np.asarray(full.t[:200])).max())
+        assert dmax < 0.05, dmax
+
+
 class TestBackendVsOracle:
     def _compare(self, n, n_loops, robust, pcg_cfg, atol_t, rtol_chi2, loop_noise=0.0):
         g, _ = _graph(pcg_cfg, n, n_loops, robust=robust, loop_noise=loop_noise)

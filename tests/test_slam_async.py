@@ -85,11 +85,14 @@ def test_pause_closes_loop_and_defers_solve():
     assert int(state.n_loops_found) == 1
 
     # deferred solve: sweeps queued on the closure frame (one ran inline),
-    # then drain one per frame and stay at zero
+    # then drain one per frame and stay at zero. With the PCG drain slice
+    # (loop_solve_pcg_slice) the queue holds proportionally more sweeps of a
+    # smaller per-sweep budget — same total Krylov work.
+    n_sweeps, _pcg = slam.deferred_sweep_plan(cfg)
     pend = [r[2] for r in recs]
-    assert pend[k_loop] == cfg.backend.gn_iterations - 1
-    for i in range(1, cfg.backend.gn_iterations):
-        assert pend[k_loop + i] == max(cfg.backend.gn_iterations - 1 - i, 0)
+    assert pend[k_loop] == n_sweeps - 1
+    for i in range(1, n_sweeps):
+        assert pend[k_loop + i] == max(n_sweeps - 1 - i, 0)
     assert pend[-1] == 0
     # the corrected pose stays consistent with the (static) ground truth
     assert recs[-1][3] < 0.3, f"post-correction pose error {recs[-1][3]}"

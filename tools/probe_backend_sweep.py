@@ -28,11 +28,10 @@ from pointcloud_slam_tpu.models.liosam import backend as bk
 
 
 def timed(fn, *args, reps=5):
-    out = fn(*args)
-    _ = jax.tree.map(np.asarray, out)  # compile + readback
+    _ = np.asarray(fn(*args))  # compile + readback (ONE scalar)
     t0 = time.perf_counter()
     for _ in range(reps):
-        _ = jax.tree.map(np.asarray, fn(*args))
+        _ = np.asarray(fn(*args))
     return (time.perf_counter() - t0) / reps * 1e3
 
 
@@ -40,48 +39,77 @@ def main():
     KF, L = 5120, 256
     cfg, g, g_imu, t_true = bench.build_backend_graph(KF, L)
 
-    terms = jax.jit(lambda g: jax.tree.map(jnp.sum, bk._graph_terms(cfg, g)[:6]))
+    # every probe fn returns ONE scalar: each device->host readback pays the
+    # full axon tunnel roundtrip (~28 ms), so multi-output fetches would
+    # poison the timing
+    terms = jax.jit(lambda g: sum(jnp.sum(x) for x in bk._graph_terms(cfg, g)[2:6]))
     print(f"terms_ms           {timed(terms, g_imu):8.2f}")
 
-    @jax.jit
-    def blocks_and_B(g):
+    def _blocks(g):
         fi, fj, Ji, Jj, e, info, B = bk._graph_terms(cfg, g)
         prior = jnp.ones((KF, bk.D), jnp.float32)
         Dblk = bk._precond_blocks(KF, jnp.float32, fi, fj, Ji, Jj, info, prior)
         return Dblk, B
 
-    Dblk, B = blocks_and_B(g_imu)
-    print(f"terms+blocks_ms    {timed(blocks_and_B, g_imu):8.2f}")
+    blocks_s = jax.jit(lambda g: sum(jnp.sum(x) for x in _blocks(g)))
+    print(f"terms+blocks_ms    {timed(blocks_s, g_imu):8.2f}")
+
+    Dblk, B = jax.jit(_blocks)(g_imu)
+    Dblk, B = jax.tree.map(jnp.asarray, (Dblk, B))
 
     @jax.jit
     def factor(Dblk, B):
-        levels, top = bk.chain_factor(Dblk, B)
-        return levels[0]["A"][0, 0, 0], top[0, 0]
+        levels, (chol, n) = bk.chain_factor(Dblk, B)
+        s = jnp.sum(chol)
+        for lv in levels:
+            s = s + jnp.sum(lv["A"][0])
+        return s
 
     print(f"chain_factor_ms    {timed(factor, Dblk, B):8.2f}")
 
+    r = jnp.ones((KF, bk.D), jnp.float32)
+
     @jax.jit
     def solve_once(Dblk, B, r):
-        levels, top = bk.chain_factor(Dblk, B)
-        return bk.chain_solve(levels, top, r)
+        levels, tail = bk.chain_factor(Dblk, B)
+        return jnp.sum(bk.chain_solve(levels, tail, r))
 
-    r = jnp.ones((KF, bk.D), jnp.float32)
-    t_factor_solve = timed(solve_once, Dblk, B, r)
-    print(f"factor+1solve_ms   {t_factor_solve:8.2f}")
+    print(f"factor+1solve_ms   {timed(solve_once, Dblk, B, r):8.2f}")
+
+    @jax.jit
+    def solve_16(Dblk, B, r):
+        levels, tail = bk.chain_factor(Dblk, B)
+        def body(x, _):
+            return bk.chain_solve(levels, tail, x), None
+        x, _ = jax.lax.scan(body, r, None, length=16)
+        return jnp.sum(x)
+
+    print(f"factor+16solve_ms  {timed(solve_16, Dblk, B, r):8.2f}")
 
     @jax.jit
     def hv_only(g, v):
         fi, fj, Ji, Jj, e, info, _ = bk._graph_terms(cfg, g)
         prior = jnp.ones((KF, bk.D), jnp.float32)
-        return bk._hv(fi, fj, Ji, Jj, info, prior, v)
+        return jnp.sum(bk._hv(fi, fj, Ji, Jj, info, prior, v))
 
     print(f"terms+1hv_ms       {timed(hv_only, g_imu, r):8.2f}")
+
+    @jax.jit
+    def hv_16(g, v):
+        fi, fj, Ji, Jj, e, info, _ = bk._graph_terms(cfg, g)
+        prior = jnp.ones((KF, bk.D), jnp.float32)
+        def body(x, _):
+            return bk._hv(fi, fj, Ji, Jj, info, prior, x), None
+        x, _ = jax.lax.scan(body, v, None, length=16)
+        return jnp.sum(x)
+
+    print(f"terms+16hv_ms      {timed(hv_16, g_imu, r):8.2f}")
 
     for k in (4, 8, 16, 32, 48):
         cfg_k = bk.BackendConfig(max_keyframes=KF, max_loops=L,
                                  gn_iterations=1, pcg_iterations=k)
-        t_k = timed(lambda gg: bk.optimize(cfg_k, gg), g_imu)
-        print(f"sweep_pcg{k:<3d}_ms    {t_k:8.2f}")
+        opt_k = jax.jit(lambda gg, _c=cfg_k: jnp.sum(bk.optimize(_c, gg).t))
+        print(f"sweep_pcg{k:<3d}_ms    {timed(opt_k, g_imu):8.2f}")
 
 
 if __name__ == "__main__":
