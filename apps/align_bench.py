@@ -90,8 +90,9 @@ def main():
     icp_cfg = register.ICPConfig(solver=register.SolverConfig(max_iterations=30))
     run("point_to_plane_icp", lambda: register.point_to_plane_icp(fit_grid, fit_map, src_j, cfg=icp_cfg).pose)
 
+    # stencil-baked targets (the serving-path layout; identical results)
     ncfg = register.NDTConfig(resolution=1.0)
-    ng, nmap = register.ndt.build_target(ncfg, tgt_j, capacity=1 << 15)
+    ng, nmap = register.ndt.build_target(ncfg, tgt_j, capacity=1 << 15, baked=True)
     run("ndt_p2d", lambda: register.ndt.align(ng, nmap, src_j, cfg=ncfg).pose)
 
     # D2D NDT (NDTCuda role)
@@ -99,7 +100,7 @@ def main():
     run("ndt_d2d", lambda: register.ndt.align_d2d(ng, nmap, sm, sc, sv, cfg=ncfg).pose)
 
     vcfg = register.VGICPConfig(resolution=1.0)
-    vg, vmap = register.vgicp.build_target(vcfg, tgt_j, capacity=1 << 15)
+    vg, vmap = register.vgicp.build_target(vcfg, tgt_j, capacity=1 << 15, baked=True)
     cov_knn = register.source_covariances(src_j, mask, k=8, resolution=1.0)
     run("vgicp (knn cov)", lambda: register.vgicp.align(vg, vmap, src_j, cov_knn, mask, cfg=vcfg).pose)
 

@@ -558,8 +558,10 @@ def config7_pairwise():
     icp_cfg = register.ICPConfig(solver=register.SolverConfig(max_iterations=30))
     run("icp_p2pl", lambda s: register.point_to_plane_icp(fit_grid, fit_map, s, cfg=icp_cfg).pose)
 
+    # stencil-baked targets: the serving-path layout (ONE probe + ONE wide
+    # gather per query instead of `nearby` probe+gathers; identical results)
     ncfg = register.NDTConfig(resolution=1.0)
-    ng, nmap = register.ndt.build_target(ncfg, tgt_j, capacity=1 << 15)
+    ng, nmap = register.ndt.build_target(ncfg, tgt_j, capacity=1 << 15, baked=True)
     run("ndt_p2d", lambda s: register.ndt.align(ng, nmap, s, cfg=ncfg).pose)
 
     def d2d(s):
@@ -568,7 +570,7 @@ def config7_pairwise():
     run("ndt_d2d", d2d)
 
     vcfg = register.VGICPConfig(resolution=1.0)
-    vg, vmap = register.vgicp.build_target(vcfg, tgt_j, capacity=1 << 15)
+    vg, vmap = register.vgicp.build_target(vcfg, tgt_j, capacity=1 << 15, baked=True)
     run("vgicp_knn", lambda s: register.vgicp.align(
         vg, vmap, s, register.source_covariances(s, mask, k=8, resolution=1.0), mask, cfg=vcfg).pose)
     run("vgicp_rbf", lambda s: register.vgicp.align(
@@ -869,6 +871,12 @@ def _slam_bench(KF, PRE, suffix, shapes):
             # detection (a loop factor landed this frame) / drain (deferred
             # sweeps running). Per-frame readback includes the axon tunnel
             # floor — reported so device share can be separated.
+            # warm the single-step program so its compile (and the deferred
+            # drain branch's) stays out of the measured percentiles
+            st_w, o_w = step1(state0, cs[0], cms[0], ss[0], sms[0])
+            for _k in range(1, min(12, n_frames)):
+                st_w, o_w = step1(st_w, cs[_k], cms[_k], ss[_k], sms[_k])
+            _ = np.asarray(o_w.pose.t)
             lat, cls = [], []
             for rep in range(2):
                 st = state0

@@ -536,7 +536,11 @@ def chain_factor(Dblk, L, direct_n=256):
         levels.append({"A": A, "C": C, "Do_inv": Do_inv, "Lo": Lo, "LeT_next": LeT_next, "n": n})
         Dl, Ll, n = D_new, L_new, n_even
     # dense tail: assemble the remaining block-tridiagonal system and
-    # Cholesky-factor it once (it is the SPD Schur complement of the chain)
+    # Cholesky-factor it once (it is the SPD Schur complement of the chain).
+    # Jacobi-scaled to unit diagonal first: the raw diagonal spans 1e0
+    # (unit priors) to 1e8 (gauge), and an f32 Cholesky of that conditioning
+    # breaks down into NaNs (observed on the KF=512 product graph); the
+    # scaled system's conditioning is set by the coupling structure only.
     B = Dl.shape[-1]
     M = jnp.zeros((n, B, n, B), dtype)
     idx = jnp.arange(n)
@@ -544,8 +548,10 @@ def chain_factor(Dblk, L, direct_n=256):
     if n > 1:
         M = M.at[idx[1:], :, idx[:-1], :].set(Ll[1:])
         M = M.at[idx[:-1], :, idx[1:], :].set(jnp.swapaxes(Ll[1:], -1, -2))
-    M = M.reshape(n * B, n * B) + 1e-8 * jnp.eye(n * B, dtype=dtype)
-    tail = (jax.scipy.linalg.cho_factor(M)[0], n)
+    M = M.reshape(n * B, n * B)
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(M), 1e-20))
+    M = M / (d[:, None] * d[None, :]) + 1e-6 * jnp.eye(n * B, dtype=dtype)
+    tail = (jax.scipy.linalg.cho_factor(M)[0], d, n)
     return levels, tail
 
 
@@ -561,8 +567,9 @@ def chain_solve(levels, tail, r):
         r_o_shift = jnp.concatenate([jnp.zeros((1, r.shape[1]), r.dtype), r_o_p[:-1]], 0)
         r = r_e - jnp.einsum("mab,mb->ma", lv["A"], r_o_shift) - jnp.einsum("mab,mb->ma", lv["C"], r_o_p)
         stack.append(r_o)
-    chol, n_tail = tail
-    x = jax.scipy.linalg.cho_solve((chol, False), r.reshape(-1)).reshape(n_tail, r.shape[1])
+    chol, d, n_tail = tail
+    x = jax.scipy.linalg.cho_solve((chol, False), r.reshape(-1) / d) / d
+    x = x.reshape(n_tail, r.shape[1])
     # up sweep: recover the odd unknowns level by level
     for lv, r_o in zip(reversed(levels), reversed(stack)):
         n, n_odd = lv["n"], r_o.shape[0]

@@ -106,6 +106,13 @@ class SLAMConfig:
     # so the slicing overhead is small) — tools/probe_backend_sweep.py.
     # 0 disables (full-budget sweeps).
     loop_solve_pcg_slice: int = 16
+    # Skip the local-map rebuild after a deferred sweep whose LARGEST node
+    # position delta is below this [m]: late drain sweeps are refinements
+    # far below the matching resolution (0.4/0.8 m voxels), and the rebuild
+    # (gather + two map inserts) dominates drain-frame cost at product KF.
+    # The map is only ever matched against within max_corr_dist=1 m, so a
+    # sub-2 cm stale map is measurement noise. 0 rebuilds every sweep.
+    map_rebuild_min_delta: float = 0.02
     # Fixed-cadence loop detection (the reference's 1 Hz loop thread runs
     # regardless of keyframe creation, mapOptmization.cpp:592-605): every
     # `loop_detect_every` frames the detectors re-run against the LATEST
@@ -540,9 +547,21 @@ def slam_step(
             dR = g2.R[k] @ R_old.T
             dt = g2.t[k] - dR @ t_old
             pose2 = se3.Pose(dR @ state.pose.R, dR @ state.pose.t + dt)
-            cmap, smap = _rebuild_maps(cfg, state, g2, g2.t[k])
+            # rebuild the local maps only when the sweep actually moved the
+            # graph (max node displacement over ALL nodes — on a revisit the
+            # local map is built from OLD nodes, so the latest-node delta
+            # alone would miss their correction); late drain sweeps converge
+            # to sub-cm deltas and skip the dominant rebuild cost
+            delta = jnp.max(jnp.linalg.norm(g2.t - g.t, axis=-1))
+            need_rebuild = delta > cfg.map_rebuild_min_delta
+
+            def rebuild(st):
+                cmap, smap = _rebuild_maps(cfg, st, g2, g2.t[k])
+                return st._replace(corner_map=cmap, surf_map=smap)
+
+            state = jax.lax.cond(need_rebuild, rebuild, lambda st: st, state)
             return state._replace(
-                graph=g2, corner_map=cmap, surf_map=smap, pose=pose2,
+                graph=g2, pose=pose2,
                 opt_sweeps=jnp.maximum(state.opt_sweeps - 1, 0),
             )
         return f

@@ -245,14 +245,24 @@ def _linearize_cached(d1, d2, means, icovs, valid, pw, src):
     return H, b, -score  # err = -score (we minimize)
 
 
-def voxelize_source(cfg: NDTConfig, source: jnp.ndarray, mask: Optional[jnp.ndarray] = None, capacity: int = 1 << 14):
+def voxelize_source(cfg: NDTConfig, source: jnp.ndarray, mask: Optional[jnp.ndarray] = None, capacity: int = 1 << 14,
+                    compact_to: int = 1 << 13):
     """Source-side Gaussian voxelization for D2D mode (NDTCuda's source
-    voxelmap). Returns (means (3, C), covs (6, C), weight mask (C,))."""
+    voxelmap). Returns (means (3, C), covs (6, C), weight mask (C,)).
+
+    `compact_to` gathers the valid voxels to the front of a C=compact_to
+    array (top-k on the valid flag): align_d2d's per-iteration stencil work
+    scales with C, and a hash-capacity-padded C (16k slots for the ~2-5k
+    occupied voxels of one scan at 1 m resolution) made D2D ~8x more
+    expensive than its real workload. 0 keeps the raw capacity layout."""
     if mask is None:
         mask = jnp.ones(source.shape[1], bool)
     grid_cfg = ops.GridConfig(capacity=capacity, resolution=cfg.resolution, nearby=1)
     g = gg.build(grid_cfg, source, mask, mode="ndt", min_points=cfg.min_points_per_voxel)
-    return g.mean, g.cov, g.valid, g.count
+    if not compact_to or compact_to >= capacity:
+        return g.mean, g.cov, g.valid, g.count
+    _, idx = jax.lax.top_k(g.valid.astype(jnp.int32), compact_to)
+    return g.mean[:, idx], g.cov[:, idx], g.valid[idx], g.count[idx]
 
 
 @functools.partial(jax.jit, static_argnames=("grid_cfg", "cfg"))
