@@ -99,20 +99,26 @@ class SLAMConfig:
     deferred_loop_solve: bool = True
     loop_solve_sweeps: int = 0         # 0 -> backend.gn_iterations (x slice factor)
     # Drain PCG slice: each deferred sweep runs this many PCG iterations
-    # instead of backend.pcg_iterations, and proportionally MORE sweeps are
-    # queued (same total Krylov work, bounded per-frame stall). At 5k
-    # keyframes a 48-iteration sweep costs ~50 ms device vs ~27 ms at 16
-    # (relinearize+factor is ~5 ms after the NS-inverse/hybrid-tail work,
-    # so the slicing overhead is small) — tools/probe_backend_sweep.py.
-    # 0 disables (full-budget sweeps).
-    loop_solve_pcg_slice: int = 16
-    # Skip the local-map rebuild after a deferred sweep whose LARGEST node
-    # position delta is below this [m]: late drain sweeps are refinements
-    # far below the matching resolution (0.4/0.8 m voxels), and the rebuild
-    # (gather + two map inserts) dominates drain-frame cost at product KF.
-    # The map is only ever matched against within max_corr_dist=1 m, so a
-    # sub-2 cm stale map is measurement noise. 0 rebuilds every sweep.
-    map_rebuild_min_delta: float = 0.02
+    # instead of backend.pcg_iterations, with proportionally MORE sweeps
+    # queued (same total Krylov work, smaller per-frame stall — a sliced
+    # sweep at 5k keyframes is ~27 ms device vs ~50 for the 48-iteration
+    # sweep, tools/probe_backend_sweep.py). DEFAULT OFF: on the CLOSED-LOOP
+    # product shape the slice destabilizes the pipeline — each extra sweep
+    # applies another partial pose correction + map rebuild that scan-to-map
+    # must re-track mid-drain, and the measured KF=512 revisit DIVERGES
+    # (err 0.01 -> 13 m -> NaN; bisected: divergence follows the slice, not
+    # the solver — the same total Krylov budget in 3 contiguous-24 sweeps is
+    # stable). The solver-level equivalence on a STATIC graph holds
+    # (test_backend_oracle.py::TestSlicedSweeps); the interaction with
+    # concurrent keyframe creation is what breaks. Use only for offline
+    # post-processing of very large graphs where matching is not running.
+    loop_solve_pcg_slice: int = 0
+    # Skip the local-map rebuild after a deferred sweep whose accumulated
+    # node movement since the last rebuild is below this [m]. DEFAULT OFF
+    # (0 = rebuild every sweep): even a 2 cm gate measurably degrades the
+    # revisit accuracy (0.01 -> 0.11 m final err) — mid-drain matching is
+    # sensitive to pose/map inconsistency well below the voxel resolution.
+    map_rebuild_min_delta: float = 0.0
     # Fixed-cadence loop detection (the reference's 1 Hz loop thread runs
     # regardless of keyframe creation, mapOptmization.cpp:592-605): every
     # `loop_detect_every` frames the detectors re-run against the LATEST
@@ -161,6 +167,11 @@ class SLAMState(NamedTuple):
     opt_sweeps: jnp.ndarray      # () int32 remaining deferred full-solve GN sweeps
     loop_closed_kf: jnp.ndarray  # () int32 latest keyframe already holding a loop factor
     last_loop_frame: jnp.ndarray  # () int32 frame of the last ACCEPTED closure (cooldown)
+    map_stale_m: jnp.ndarray     # () accumulated node movement since the last
+    # local-map rebuild [m] — the rebuild-skip gate compares against the
+    # TOTAL, so skipped sub-threshold sweeps can never accumulate into a
+    # stale map beyond map_rebuild_min_delta (a per-sweep gate let ~2 cm per
+    # sweep compound past the baked grids' capture basin and lose tracking)
 
 
 class SLAMOutput(NamedTuple):
@@ -195,6 +206,7 @@ def create_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
         opt_sweeps=jnp.zeros((), jnp.int32),
         loop_closed_kf=jnp.full((), -1, jnp.int32),
         last_loop_frame=jnp.full((), -(1 << 30), jnp.int32),
+        map_stale_m=jnp.zeros((), dtype),
     )
 
 
@@ -547,19 +559,24 @@ def slam_step(
             dR = g2.R[k] @ R_old.T
             dt = g2.t[k] - dR @ t_old
             pose2 = se3.Pose(dR @ state.pose.R, dR @ state.pose.t + dt)
-            # rebuild the local maps only when the sweep actually moved the
-            # graph (max node displacement over ALL nodes — on a revisit the
-            # local map is built from OLD nodes, so the latest-node delta
-            # alone would miss their correction); late drain sweeps converge
-            # to sub-cm deltas and skip the dominant rebuild cost
-            delta = jnp.max(jnp.linalg.norm(g2.t - g.t, axis=-1))
+            # rebuild the local maps only when the graph has moved since the
+            # LAST rebuild (max node displacement over ALL nodes — on a
+            # revisit the local map is built from OLD nodes, so the
+            # latest-node delta alone would miss their correction; the
+            # accumulator bounds total staleness, not just this sweep's).
+            # Late drain sweeps converge to sub-cm deltas and skip the
+            # dominant rebuild cost.
+            delta = jnp.max(jnp.linalg.norm(g2.t - g.t, axis=-1)) + state.map_stale_m
             need_rebuild = delta > cfg.map_rebuild_min_delta
 
             def rebuild(st):
                 cmap, smap = _rebuild_maps(cfg, st, g2, g2.t[k])
-                return st._replace(corner_map=cmap, surf_map=smap)
+                return st._replace(corner_map=cmap, surf_map=smap,
+                                   map_stale_m=jnp.zeros((), g2.t.dtype))
 
-            state = jax.lax.cond(need_rebuild, rebuild, lambda st: st, state)
+            state = jax.lax.cond(
+                need_rebuild, rebuild,
+                lambda st: st._replace(map_stale_m=delta), state)
             return state._replace(
                 graph=g2, pose=pose2,
                 opt_sweeps=jnp.maximum(state.opt_sweeps - 1, 0),
