@@ -51,15 +51,35 @@ def main():
     cfg = loc.LocalizationConfig(
         scan2map=s2m.Scan2MapConfig(solver=register.SolverConfig(max_iterations=6),
                                     degeneracy_eig=1.0))
-    cmap = ops.insert(cfg.scan2map.corner_grid, ops.create(cfg.scan2map.corner_grid),
-                      jnp.asarray(corners_w.T.astype(np.float32)),
-                      jnp.ones(len(corners_w), bool))
-    smap = ops.insert(cfg.scan2map.surf_grid, ops.create(cfg.scan2map.surf_grid),
-                      jnp.asarray(surfs_w.T.astype(np.float32)),
-                      jnp.ones(len(surfs_w), bool))
+    # jitted map build: EAGER ops through the axon tunnel dispatch one op at
+    # a time and can stall the whole process (see .claude verify notes)
+    build_c = jax.jit(lambda p, m: ops.insert(cfg.scan2map.corner_grid,
+                                              ops.create(cfg.scan2map.corner_grid), p, m))
+    build_s = jax.jit(lambda p, m: ops.insert(cfg.scan2map.surf_grid,
+                                              ops.create(cfg.scan2map.surf_grid), p, m))
+    cmap = build_c(jnp.asarray(corners_w.T.astype(np.float32)),
+                   jnp.ones(len(corners_w), bool))
+    smap = build_s(jnp.asarray(surfs_w.T.astype(np.float32)),
+                   jnp.ones(len(surfs_w), bool))
+    print("maps built", flush=True)
 
-    one = jax.jit(lambda c, cm, s, sm, p: loc.localize_loam(
-        cfg, None, cmap, smap, c, cm, s, sm, p))
+    # ALL per-frame device math inside ONE jitted step: eager jnp arithmetic
+    # (cv-init adds, jnp.eye) flips the axon tunnel into one-op-at-a-time
+    # slow dispatch and the soak hangs (see memory: axon-tunnel-discipline)
+    off = jnp.asarray([5.0, 5.0, 2.0], jnp.float32)
+
+    @jax.jit
+    def step(c, cm, s, sm, pose_R, pose_t, prev_t, teleport):
+        init_t = pose_t + (pose_t - prev_t) + jnp.where(teleport, off, 0.0)
+        res = loc.localize_loam(cfg, None, cmap, smap, c, cm, s, sm,
+                                se3.Pose(pose_R, init_t))
+        return res.pose.R, res.pose.t, res.lost, res.fitness
+
+    @jax.jit
+    def recover_step(c, cm, s, sm, fb_t):
+        res = loc.localize_loam(cfg, None, cmap, smap, c, cm, s, sm,
+                                se3.Pose(jnp.eye(3), fb_t))
+        return res.pose.R, res.pose.t, res.lost
 
     n_frames = int(args.seconds * args.hz)
     period = 1.0 / args.hz
@@ -75,15 +95,17 @@ def main():
         return (jnp.asarray(c.T.copy()), jnp.asarray(cm),
                 jnp.asarray(s.T.copy()), jnp.asarray(sm))
 
-    # warm the compile outside the paced loop
+    # warm both programs outside the paced loop (host pose state: numpy)
     gt0 = scan_pose(0)
     c, cm, s, sm = scan_at(gt0, 0)
-    pose = se3.Pose(jnp.eye(3), jnp.asarray(gt0))
-    _ = np.asarray(one(c, cm, s, sm, pose).pose.t)
+    pose_R, pose_t = np.eye(3, dtype=np.float32), gt0.copy()
+    prev_t = pose_t.copy()
+    _ = jax.device_get(step(c, cm, s, sm, pose_R, pose_t, prev_t, False))
+    _ = jax.device_get(recover_step(c, cm, s, sm, gt0))
+    print("warm", flush=True)
 
     lats, misses, losses, recoveries = [], 0, 0, 0
     errs = []
-    prev_t = pose.t
     t_start = time.perf_counter()
     for k in range(n_frames):
         deadline = t_start + k * period
@@ -92,34 +114,28 @@ def main():
             time.sleep(deadline - now)
         gt = scan_pose(k)
         c, cm, s, sm = scan_at(gt, k)
-        if k == loss_frame:
-            # teleported estimate (incl. z so the floor-plane-blind fitness
-            # gate must flag it): the loss-injection event
-            pose = se3.Pose(pose.R, pose.t + jnp.asarray([5.0, 5.0, 2.0], jnp.float32))
         t0 = time.perf_counter()
-        # constant-velocity init (the fused-odometry guess the deployed
-        # localizer matches from; see bench config 8)
-        init = se3.Pose(pose.R, pose.t + (pose.t - prev_t))
-        prev_t = pose.t
-        res = one(c, cm, s, sm, init)
-        t_host, lost, fit = jax.device_get((res.pose.t, res.lost, res.fitness))
+        R_n, t_n, lost, fit = jax.device_get(
+            step(c, cm, s, sm, pose_R, pose_t, prev_t, k == loss_frame))
         lats.append((time.perf_counter() - t0) * 1e3)
         if bool(lost):
             losses += 1
             # relocalize from the external initial pose (GPS / initialPose
             # role, localization.cpp relocalization)
-            pose = se3.Pose(jnp.eye(3), jnp.asarray(gt))
-            res2 = one(c, cm, s, sm, pose)
-            if not bool(np.asarray(res2.lost)):
+            R2, t2, lost2 = jax.device_get(recover_step(c, cm, s, sm, gt))
+            if not bool(lost2):
                 recoveries += 1
-                pose = res2.pose
-                prev_t = pose.t  # reset the velocity estimate with the pose
-                t_host = np.asarray(res2.pose.t)
+                prev_t = t2.copy()
+                pose_R, pose_t = R2, t2
+                t_n = t2
+            else:
+                prev_t = pose_t
         else:
-            pose = res.pose
+            prev_t = pose_t
+            pose_R, pose_t = R_n, t_n
         if (time.perf_counter() - t0) > period:
             misses += 1
-        errs.append(float(np.linalg.norm(t_host - gt)))
+        errs.append(float(np.linalg.norm(t_n - gt)))
 
     lats = np.asarray(lats)
     out = {
